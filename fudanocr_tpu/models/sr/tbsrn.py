@@ -1,0 +1,141 @@
+"""TBSRN — transformer-based SR network (Scene Text Telescope, CVPR-21).
+
+Rebuild of scene-text-telescope/model/tbsrn.py:166-226: a 9x9 conv stem,
+`srb_nums` transformer-enhanced residual blocks, a conv+BN trunk tail with a
+global skip from the stem, PixelShuffle upsampling, a 9x9 output conv and
+tanh. The STN/TPS rectifier runs at train time only (tbsrn.py:214-218).
+
+TPU-first deviations from the reference:
+  * NHWC, bf16-able compute; the attention runs over the (H*W, 128) token
+    matrix in one fused MHA (the reference materialises per-head matmuls).
+  * The 2D positional encoding is computed for the *actual* feature size at
+    trace time instead of the hardcoded 16x64 (tbsrn.py:83), so any LR
+    geometry compiles; for 16x64 inputs the constants are identical.
+  * The reference's RecurrentResidualBlock constructs two GruBlocks it never
+    calls in forward (tbsrn.py:234,239) — they are omitted here (the
+    checkpoint converter drops those keys).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from fudanocr_tpu.nn.attention import MultiHeadAttention, positional_encoding_2d
+from fudanocr_tpu.nn.layers import PReLU, TorchLayerNorm, mish
+from fudanocr_tpu.nn.stn import STNHead
+from fudanocr_tpu.nn.tps import TPSSpatialTransformer
+from fudanocr_tpu.models.sr.common import ConvBN, UpsampleBlock
+
+Dtype = Any
+
+
+class FeatureEnhancer(nn.Module):
+    """Self-attention over flattened feature tokens (tbsrn.py:63-92).
+
+    Input (B, L, C=64): concat a 64-d 2D positional encoding -> 128-d tokens,
+    one MHA(h=4) + FFN(128) block with the reference's std-based LayerNorm,
+    then project back to 64.
+    """
+
+    height: int
+    width: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, l, c = tokens.shape
+        d_model = c + 64  # 128 for the reference's 64-channel trunk
+        pe = positional_encoding_2d(64, self.height, self.width)
+        pe = jnp.asarray(pe.reshape(64, l).T, dtype=tokens.dtype)  # (L, 64)
+        x = jnp.concatenate([tokens, jnp.broadcast_to(pe, (b, l, 64))], axis=-1)
+
+        attn_out, _ = MultiHeadAttention(
+            num_heads=4, d_model=d_model, dtype=self.dtype, name="mha")(
+                x, x, x, deterministic=deterministic, need_weights=False)
+        x = TorchLayerNorm(name="ln1")(x + attn_out)
+
+        y = nn.Dense(d_model, dtype=self.dtype, name="pff_w1")(x)
+        y = nn.relu(y)
+        if not deterministic:
+            y = nn.Dropout(0.1)(y, deterministic=deterministic)
+        y = nn.Dense(d_model, dtype=self.dtype, name="pff_w2")(y)
+        x = TorchLayerNorm(name="ln2")(x + y)
+
+        return nn.Dense(c, dtype=self.dtype, name="proj")(x)
+
+
+class TransformerResidualBlock(nn.Module):
+    """conv-BN-mish-conv-BN then FeatureEnhancer, residual (tbsrn.py:229-257)."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        b, h, w, c = x.shape
+        r = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv1")(x)
+        r = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(r)
+        r = mish(r)
+        r = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv2")(r)
+        r = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn2")(r)
+
+        tokens = r.reshape(b, h * w, c)
+        tokens = FeatureEnhancer(height=h, width=w, dtype=self.dtype,
+                                 name="enhancer")(tokens,
+                                                  deterministic=not train)
+        return x + tokens.reshape(b, h, w, c)
+
+
+class TBSRN(nn.Module):
+    scale_factor: int = 2
+    width: int = 128          # HR width (LR is width // scale_factor)
+    height: int = 32
+    stn: bool = True
+    srb_nums: int = 5
+    mask: bool = False        # 4th binary-mask channel
+    hidden_units: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_planes = 4 if self.mask else 3
+        feats = 2 * self.hidden_units
+        assert math.log2(self.scale_factor).is_integer()
+        n_up = int(math.log2(self.scale_factor))
+
+        if self.stn:
+            # Construct unconditionally so params exist whichever mode ran
+            # init; the warp is only *used* at train time (tbsrn.py:214-218)
+            # and XLA DCEs the dead branch in eval programs.
+            _, ctrl = STNHead(num_ctrlpoints=20, dtype=self.dtype,
+                              name="stn_head")(x, train)
+            tps = TPSSpatialTransformer(
+                output_size=(self.height // self.scale_factor,
+                             self.width // self.scale_factor),
+                num_control_points=20, margins=(0.05, 0.05), name="tps")
+            warped, _ = tps(x, ctrl)
+            if train:
+                x = warped
+
+        stem = nn.Conv(feats, (9, 9), dtype=self.dtype, name="stem_conv")(x)
+        stem = PReLU(name="stem_prelu")(stem)
+
+        h = stem
+        for i in range(self.srb_nums):
+            h = TransformerResidualBlock(feats, dtype=self.dtype,
+                                         name=f"srb{i}")(h, train)
+        h = ConvBN(feats, dtype=self.dtype, name="trunk_tail")(h, train)
+
+        h = stem + h
+        for i in range(n_up):
+            h = UpsampleBlock(feats, 2, dtype=self.dtype, name=f"up{i}")(h)
+        h = nn.Conv(in_planes, (9, 9), dtype=self.dtype, name="out_conv")(h)
+        return jnp.tanh(h)

@@ -1,0 +1,110 @@
+"""Fused (flash-style) multi-head attention as a Pallas TPU kernel.
+
+Replaces the reference's materialised softmax(QK^T)V (scene-text-telescope/
+model/tbsrn.py:132-150 and the EfficientMultiheadAttention in
+text-focused-Transformers/mmseg/models/backbones/cascade_mit.py:94-215)
+with an online-softmax kernel that never writes the L_q x L_k score matrix
+to HBM. This matters most for the segmentation backbone, whose stage-1
+sequence length is (H/4)*(W/4) (16k tokens for 512x512 crops).
+
+Layout: q, k, v are (B, H, L, Dh). The kernel runs a 3D grid
+(B*H, L_q/bq, L_k/bk) with the K axis innermost; running max / denominator /
+accumulator live in VMEM scratch and persist across the sequential K steps.
+
+Falls back to the XLA path (in nn/attention.py) whenever shapes are too
+small or unaligned to be worth it — see `flash_attention_supported`.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Block sizes: multiples of the fp32 (8, 128) tile; 256 keeps VMEM small
+# while giving the MXU full 128-lane work.
+_BQ = 256
+_BK = 256
+
+
+def flash_attention_supported(q_shape: Tuple[int, ...]) -> bool:
+    """Worth dispatching to the Pallas kernel? (alignment + size gate)."""
+    if len(q_shape) != 4:
+        return False
+    _, _, l, d = q_shape
+    return l >= 2 * _BQ and l % _BQ == 0 and d in (32, 64, 128, 256)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bk, d)
+    v = v_ref[0]  # (bk, d)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bq, bk)
+
+    m_prev = m_ref[:]                                   # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)          # (bq, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)                              # (bq, bk)
+    correction = jnp.exp(m_prev - m_new)                # (bq, 1)
+    l_ref[:] = l_ref[:] * correction + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
+              block_q: int = _BQ, block_k: int = _BK) -> jax.Array:
+    """Unmasked softmax(q k^T / sqrt(d)) v over (B, H, L, Dh) inputs."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+
+    bh = b * h
+    q3 = q.reshape(bh, lq, d)
+    k3 = k.reshape(bh, lk, d)
+    v3 = v.reshape(bh, lk, d)
+
+    grid = (bh, lq // block_q, pl.cdiv(lk, block_k))
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b_, qi, ki: (b_, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b_, qi, ki: (b_, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b_, qi, ki: (b_, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )(q3, k3, v3)
+    return out.reshape(b, h, lq, d)
