@@ -1,0 +1,68 @@
+"""Benchmark: TBSRN (flagship SR generator) inference throughput on TPU.
+
+Mirrors the reference's own headline metric — images/sec over the SR test
+pass, `fps = sum_images / (time_end - time_begin)`
+(scene-text-telescope/interfaces/super_resolution.py:324-328) — on the
+TextZoom geometry (LR 16x64 -> HR 32x128), full-size model (srb_nums=5,
+hidden_units=32), bf16 compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`vs_baseline` is measured images/sec divided by REF_GPU_FPS, a documented
+estimate of the reference PyTorch TBSRN on one V100-class GPU (the repo
+stores no absolute number — see BASELINE.md). The driver's north-star is
+vs_baseline >= 5.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_GPU_FPS = 1000.0  # estimated reference TBSRN images/sec on 1 GPU
+BATCH = 512
+ITERS = 20
+
+
+def main():
+    from fudanocr_tpu.models.sr import TBSRN
+
+    model = TBSRN(scale_factor=2, width=128, height=32, stn=True,
+                  srb_nums=5, hidden_units=32, dtype=jnp.bfloat16)
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, 16, 64, 3),
+                            jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x0)
+
+    # The remote-TPU tunnel makes per-dispatch host timing unreliable
+    # (async futures + network roundtrips), so the iteration loop runs
+    # INSIDE one jit as a lax.scan with a true data dependency: each SR
+    # output is 2x-subsampled back into the next LR input. One host fetch
+    # at the end bounds the total device time.
+    def chain(variables, x):
+        def body(x, _):
+            y = model.apply(variables, x)
+            nxt = y[:, ::2, ::2, :].astype(jnp.float32)
+            return nxt, y.astype(jnp.float32).mean()
+        _, means = jax.lax.scan(body, x, None, length=ITERS)
+        return means
+
+    chained = jax.jit(chain)
+    chained(variables, x0)[0].item()  # compile + warm
+
+    t0 = time.perf_counter()
+    means = chained(variables, x0)
+    float(means[-1])  # host fetch forces completion
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "tbsrn_textzoom_sr_inference",
+        "value": round(fps, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(fps / REF_GPU_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""LMDB-backed datasets (TextZoom et al.).
+
+Equivalents of scene-text-telescope/dataset/dataset.py:50-204:
+`LMDBDataset` (HR-only, 'image-%09d', LR synthesized by bicubic down-
+sampling), `PairedLMDBDataset` ('image_hr-%09d'/'image_lr-%09d' pairs) and
+the mix variant. Keys follow the reference layout with 1-based indices and
+a 'num-samples' count. Decoding (JPEG/PNG via PIL) happens on host worker
+threads; batches come out as fixed-shape NHWC float arrays.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from fudanocr_tpu.data.lmdb_store import LMDBReader
+from fudanocr_tpu.eval.metrics import str_filt
+
+
+def _decode(buf: bytes, mode: str = "RGB") -> Image.Image:
+    return Image.open(io.BytesIO(buf)).convert(mode)
+
+
+class _LMDBBase:
+    def __init__(self, roots, voc_type: str = "upper", max_len: int = 100,
+                 batch_hw=(32, 128), scale: int = 2):
+        if isinstance(roots, str):
+            roots = [roots]
+        self.readers = [LMDBReader(r) for r in roots]
+        self.counts = [int(r.get(b"num-samples") or 0) for r in self.readers]
+        self.voc_type = voc_type
+        self.max_len = max_len
+        self.batch_hw = batch_hw
+        self.scale = scale
+
+    def __len__(self):
+        return sum(self.counts)
+
+    def _locate(self, index: int):
+        for reader, count in zip(self.readers, self.counts):
+            if index < count:
+                return reader, index + 1  # keys are 1-based
+            index -= count
+        raise IndexError(index)
+
+    def batches(self, batch_size: int, **collate_kw):
+        from fudanocr_tpu.data.collate import sr_collate
+        kw = dict(img_h=self.batch_hw[0], img_w=self.batch_hw[1],
+                  down_sample_scale=self.scale)
+        kw.update(collate_kw)
+        for start in range(0, len(self) - batch_size + 1, batch_size):
+            yield sr_collate([self[i] for i in
+                              range(start, start + batch_size)], **kw)
+
+
+class LMDBDataset(_LMDBBase):
+    """HR-only LMDB; LR is synthesized at collate time (lmdbDataset +
+    alignCollate_syn)."""
+
+    def __getitem__(self, index: int):
+        reader, i = self._locate(index)
+        label = (reader.get(b"label-%09d" % i) or b"").decode()
+        buf = reader.get(b"image_hr-%09d" % i) or reader.get(b"image-%09d" % i)
+        img = _decode(buf)
+        lr = img.resize((img.size[0] // self.scale, img.size[1] // self.scale),
+                        Image.BICUBIC)
+        return img, lr, str_filt(label, self.voc_type)
+
+
+class PairedLMDBDataset(_LMDBBase):
+    """Real paired HR/LR LMDB (lmdbDataset_real)."""
+
+    def __getitem__(self, index: int):
+        reader, i = self._locate(index)
+        label = (reader.get(b"label-%09d" % i) or b"").decode()
+        hr = _decode(reader.get(b"image_hr-%09d" % i))
+        lr = _decode(reader.get(b"image_lr-%09d" % i))
+        return hr, lr, str_filt(label, self.voc_type)
+
+
+def create_dataset(out_path: str, samples, quality: int = 95) -> int:
+    """createDataset equivalent (create_lmdb.py:184-233): write (hr_image,
+    lr_image_or_None, label) triples into a new LMDB. Returns sample count."""
+    from fudanocr_tpu.data.lmdb_store import LMDBWriter
+
+    writer = LMDBWriter(out_path)
+    n = 0
+    for item in samples:
+        hr, lr, label = item
+        n += 1
+
+        def enc(img):
+            b = io.BytesIO()
+            img.save(b, format="JPEG", quality=quality)
+            return b.getvalue()
+
+        writer.put(b"image_hr-%09d" % n, enc(hr))
+        if lr is not None:
+            writer.put(b"image_lr-%09d" % n, enc(lr))
+        writer.put(b"label-%09d" % n, label.encode())
+    writer.put(b"num-samples", str(n).encode())
+    writer.write()
+    return n

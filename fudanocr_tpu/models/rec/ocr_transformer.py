@@ -1,0 +1,224 @@
+"""Shared CTR core: ResNet encoder + 1-layer transformer decoder.
+
+The reference forks this architecture five times with tiny deltas
+(stroke-level-decomposition/model/transformer.py:320-377,
+image-ids-CTR/model/transformer.py:329-389, orientation-independent-CTR/
+model/transformer.py:399-450, character-profile-matching/model/
+transformer.py:478-567, and scene-text-telescope/loss/transformer.py:348-389
+as the frozen text-focus oracle). Here it exists once, parameterised:
+
+* `num_in` / `layers` select the encoder (1-ch [1,2,5,3] for the SR loss
+  oracle; 3-ch [3,4,6,3] for the CTR projects),
+* `num_heads` selects decoder attention heads (16 for the loss oracle, 4
+  for CTR),
+* `out_dim` selects the generator (vocab logits, or an embedding dimension
+  for CCR-CLIP's gallery-matching stage 2).
+
+TPU-first: fixed-shape padded text with causal masking; the ragged
+`probs_res` packing loop (transformer.py:364-371) is replaced by dense
+(B, L, C) outputs consumed by masked losses; greedy decoding is a
+`lax.fori_loop` over a static-length token buffer (see `greedy_decode`)
+with the conv features encoded exactly once, matching the reference's
+conv-cache eval loop (stroke-level-decomposition/train.py:110-121).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from fudanocr_tpu.nn.attention import (MultiHeadAttention,
+                                       positional_encoding_1d,
+                                       subsequent_mask)
+from fudanocr_tpu.nn.layers import TorchLayerNorm, max_pool
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    """conv3-bn-relu-conv3-bn + (optionally downsampled) residual, relu."""
+
+    features: int
+    downsample: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.dtype, name=name)
+        r = x
+        y = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv2")(y)
+        y = bn("bn2")(y)
+        if self.downsample:
+            r = nn.Conv(self.features, (3, 3), dtype=self.dtype,
+                        name="down_conv")(r)
+            r = bn("down_bn")(r)
+        return nn.relu(y + r)
+
+
+class OCRResNet(nn.Module):
+    """The CTR encoder (loss/transformer.py:82-168): stem + 4 block stages,
+    pooling only at the stem and before stage 1 (16x total 4x downsample),
+    1024-channel output."""
+
+    num_in: int = 3
+    layers: Sequence[int] = (3, 4, 6, 3)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.dtype, name=name)
+        x = nn.Conv(64, (3, 3), dtype=self.dtype, name="stem1_conv")(x)
+        x = nn.relu(bn("stem1_bn")(x))
+        x = max_pool(x, 2)
+        x = nn.Conv(128, (3, 3), dtype=self.dtype, name="stem2_conv")(x)
+        x = nn.relu(bn("stem2_bn")(x))
+        x = max_pool(x, 2)
+
+        stage_feats = (256, 256, 512, 512)
+        in_feats = 128
+        for s, (n_blocks, feats) in enumerate(zip(self.layers, stage_feats)):
+            for i in range(n_blocks):
+                x = BasicBlock(feats, downsample=(i == 0 and in_feats != feats),
+                               dtype=self.dtype, name=f"stage{s}_block{i}")(
+                                   x, train)
+            in_feats = feats
+            if s < 3:
+                x = nn.Conv(feats, (3, 3), dtype=self.dtype,
+                            name=f"stage{s}_conv")(x)
+                x = nn.relu(bn(f"stage{s}_bn")(x))
+        x = nn.Conv(1024, (3, 3), dtype=self.dtype, name="head_conv")(x)
+        return nn.relu(bn("head_bn")(x))
+
+
+class OCRDecoderLayer(nn.Module):
+    """Masked self-attn, cross-attn to conv tokens (returns the map), FFN —
+    each with residual + the reference's std-based LayerNorm."""
+
+    num_heads: int = 4
+    d_model: int = 1024
+    d_ff: int = 2048
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, text: jax.Array, memory: jax.Array,
+                 self_mask: jax.Array, deterministic: bool = True,
+                 attention_map: Optional[jax.Array] = None,
+                 ) -> Tuple[jax.Array, jax.Array]:
+        sa, _ = MultiHeadAttention(self.num_heads, self.d_model,
+                                   dtype=self.dtype, name="self_attn")(
+            text, text, text, mask=self_mask, deterministic=deterministic,
+            need_weights=False)
+        x = TorchLayerNorm(name="ln1")(text + sa)
+
+        ca, attn_map = MultiHeadAttention(self.num_heads, self.d_model,
+                                          dtype=self.dtype, name="cross_attn")(
+            x, memory, memory, attention_map=attention_map,
+            deterministic=deterministic)
+        x = TorchLayerNorm(name="ln2")(x + ca)
+
+        y = nn.Dense(self.d_ff, dtype=self.dtype, name="pff_w1")(x)
+        y = nn.relu(y)
+        if not deterministic:
+            y = nn.Dropout(0.1)(y, deterministic=deterministic)
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="pff_w2")(y)
+        x = TorchLayerNorm(name="ln3")(x + y)
+        return x, attn_map
+
+
+class OCRTransformer(nn.Module):
+    vocab: int
+    num_in: int = 3
+    layers: Sequence[int] = (3, 4, 6, 3)
+    num_heads: int = 4
+    d_embed: int = 512
+    d_model: int = 1024
+    d_ff: int = 2048
+    max_len: int = 7000
+    out_dim: Optional[int] = None  # None -> vocab logits
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        self._encoder = OCRResNet(self.num_in, self.layers, dtype=self.dtype,
+                                  name="encoder")
+        self._embed = nn.Embed(self.vocab, self.d_embed, dtype=self.dtype,
+                               name="embed")
+        self._decoder = OCRDecoderLayer(self.num_heads, self.d_model,
+                                        self.d_ff, dtype=self.dtype,
+                                        name="decoder")
+        self._generator = nn.Dense(self.out_dim or self.vocab,
+                                   dtype=self.dtype, name="generator")
+
+    def encode(self, image: jax.Array, train: bool = False) -> jax.Array:
+        """Image -> (B, Ht*Wt, d_model) memory tokens."""
+        conv = self._encoder(image, train)
+        b, h, w, c = conv.shape
+        return conv.reshape(b, h * w, c)
+
+    def decode_step(self, memory: jax.Array, text_input: jax.Array,
+                    train: bool = False,
+                    attention_map: Optional[jax.Array] = None,
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """(B, L) token ids + memory -> (logits, attn_map, hidden)."""
+        b, l = text_input.shape
+        emb = self._embed(text_input) * math.sqrt(self.d_embed)
+        pe = jnp.asarray(positional_encoding_1d(self.d_embed, l),
+                         dtype=emb.dtype)
+        # the reference CONCATs a pure positional vector to the embedding
+        # (loss/transformer.py:369-370) instead of adding it
+        x = jnp.concatenate([emb, jnp.broadcast_to(pe, (b, l, self.d_embed))],
+                            axis=-1)
+        mask = jnp.asarray(subsequent_mask(l))[None, None]
+        x, attn_map = self._decoder(x, memory, mask, deterministic=not train,
+                                    attention_map=attention_map)
+        out = self._generator(x)
+        return out, attn_map, x
+
+    def __call__(self, image: jax.Array, text_input: jax.Array,
+                 train: bool = False,
+                 attention_map: Optional[jax.Array] = None):
+        """Teacher-forced forward: dense (B, L, out) predictions.
+
+        Replaces the reference's forward(image, text_length, text_input)
+        ragged packing — callers apply their own length masks.
+        """
+        memory = self.encode(image, train)
+        pred, attn_map, hidden = self.decode_step(
+            memory, text_input, train, attention_map)
+        return {"pred": pred, "map": attn_map, "conv": memory,
+                "hidden": hidden}
+
+
+def greedy_decode(model: OCRTransformer, variables, image: jax.Array,
+                  max_len: int, start_id: int = 0) -> jax.Array:
+    """Autoregressive greedy decode as a fixed-length device loop.
+
+    Encodes once, then `max_len` decoder passes over the padded token
+    buffer — position i's logits depend only on tokens <= i (causal mask),
+    so overwriting one slot per step reproduces the reference's
+    conv-feature-cached eval loop (sld/train.py:110-121) with static shapes.
+    Returns (B, max_len) predicted ids (token i predicted from prefix i).
+    """
+    b = image.shape[0]
+    memory = model.apply(variables, image, method=model.encode)
+
+    def body(i, tokens):
+        out, _, _ = model.apply(variables, memory, tokens,
+                                method=model.decode_step)
+        nxt = jnp.argmax(out[:, i, :], axis=-1).astype(jnp.int32)
+        return jax.lax.dynamic_update_slice(
+            tokens, nxt[:, None], (0, i + 1))
+
+    tokens = jnp.full((b, max_len + 1), start_id, dtype=jnp.int32)
+    tokens = jax.lax.fori_loop(0, max_len, body, tokens)
+    return tokens[:, 1:]

@@ -56,7 +56,8 @@ class FeatureEnhancer(nn.Module):
         x = jnp.concatenate([tokens, jnp.broadcast_to(pe, (b, l, 64))], axis=-1)
 
         attn_out, _ = MultiHeadAttention(
-            num_heads=4, d_model=d_model, dtype=self.dtype, name="mha")(
+            num_heads=4, d_model=d_model, dtype=self.dtype, use_flash=True,
+            name="mha")(
                 x, x, x, deterministic=deterministic, need_weights=False)
         x = TorchLayerNorm(name="ln1")(x + attn_out)
 

@@ -100,6 +100,7 @@ class MultiHeadAttention(nn.Module):
             probs = attention_map
             out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
         elif (self.use_flash and not need_weights and mask is None
+              and (deterministic or self.dropout_rate == 0.0)
               and flash_attention_supported(q.shape)):
             out = flash_mha(q, k, v)
             probs = None

@@ -99,5 +99,5 @@ def max_pool(x: jax.Array, window: Union[int, Tuple[int, int]],
     if isinstance(strides, int):
         strides = (strides, strides)
     if isinstance(padding, (list, tuple)):
-        padding = [(0, 0), *padding, (0, 0)]
+        padding = [tuple(p) for p in padding]  # per spatial dim only
     return nn.max_pool(x, window, strides, padding)

@@ -80,6 +80,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
 def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
               block_q: int = _BQ, block_k: int = _BK) -> jax.Array:
     """Unmasked softmax(q k^T / sqrt(d)) v over (B, H, L, Dh) inputs."""
+    interpret = jax.default_backend() == "cpu"  # tests run on CPU
     b, h, lq, d = q.shape
     lk = k.shape[2]
     scale = 1.0 / math.sqrt(d)
@@ -106,5 +107,6 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        interpret=interpret,
     )(q3, k3, v3)
     return out.reshape(b, h, lq, d)

@@ -1,13 +1,23 @@
 """Test env: force CPU with 8 virtual devices so mesh/pjit paths are
-exercised without TPU hardware (SURVEY.md §4)."""
+exercised without TPU hardware (SURVEY.md §4).
+
+Note: this environment pre-imports jax at interpreter startup (the TPU
+platform plugin registers via sitecustomize), so JAX_PLATFORMS set here via
+os.environ would be ignored — use jax.config.update, which takes effect any
+time before the backend is first initialized.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-import jax  # noqa: E402  (import after env so the flag takes effect)
+import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.device_count() == 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()} — was the backend "
+    "initialized before conftest ran?")

@@ -1,0 +1,34 @@
+"""Pallas flash attention vs XLA softmax-attention oracle (interpret mode
+on CPU; the same kernel compiles natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fudanocr_tpu.ops.flash_attention import flash_mha, flash_attention_supported
+
+
+def _oracle(q, k, v):
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def test_flash_mha_matches_oracle():
+    rng = np.random.default_rng(11)
+    b, h, l, d = 2, 4, 1024, 32
+    q = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+
+    assert flash_attention_supported(q.shape)
+    got = np.asarray(flash_mha(q, k, v))
+    want = np.asarray(_oracle(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_supported_gate():
+    assert not flash_attention_supported((2, 4, 100, 32))   # unaligned L
+    assert not flash_attention_supported((2, 4, 256, 32))   # too small
+    assert not flash_attention_supported((2, 4, 1024, 48))  # odd head dim

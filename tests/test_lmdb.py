@@ -1,0 +1,77 @@
+"""LMDB store: write -> read roundtrips incl. overflow pages, ordered scan,
+and the TextZoom dataset layer on top."""
+
+import io
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fudanocr_tpu.data.lmdb_store import LMDBReader, LMDBWriter, PAGE_SIZE
+from fudanocr_tpu.data.lmdb_dataset import (PairedLMDBDataset, LMDBDataset,
+                                            create_dataset)
+
+
+def test_roundtrip_small_and_overflow_values():
+    rng = np.random.default_rng(0)
+    data = {}
+    for i in range(500):
+        data[b"key-%06d" % i] = bytes(rng.integers(0, 256,
+                                                   rng.integers(1, 100),
+                                                   dtype=np.uint8))
+    # large values -> overflow pages (multi-page too)
+    data[b"big-1"] = bytes(rng.integers(0, 256, PAGE_SIZE * 3 + 17,
+                                        dtype=np.uint8))
+    data[b"big-2"] = bytes(rng.integers(0, 256, PAGE_SIZE - 10,
+                                        dtype=np.uint8))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        w = LMDBWriter(os.path.join(tmp, "db"))
+        w.update(data)
+        w.write()
+
+        with LMDBReader(os.path.join(tmp, "db")) as r:
+            assert len(r) == len(data)
+            for k, v in data.items():
+                assert r.get(k) == v, k
+            assert r.get(b"missing") is None
+            # ordered scan
+            items = list(r.items())
+            assert [k for k, _ in items] == sorted(data.keys())
+
+
+def test_multilevel_btree():
+    """Enough keys to force >=2 branch levels."""
+    data = {b"%012d" % i: b"v" * 50 for i in range(20000)}
+    with tempfile.TemporaryDirectory() as tmp:
+        w = LMDBWriter(os.path.join(tmp, "db"))
+        w.update(data)
+        w.write()
+        with LMDBReader(os.path.join(tmp, "db")) as r:
+            assert r.main["depth"] >= 3
+            for i in (0, 1, 9999, 19999, 12345):
+                assert r.get(b"%012d" % i) == b"v" * 50
+
+
+def test_textzoom_dataset_roundtrip():
+    from fudanocr_tpu.data.synthetic import SyntheticTextZoom
+
+    syn = SyntheticTextZoom(num_samples=8, hr_size=(64, 16))
+    samples = [syn[i] for i in range(8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "textzoom")
+        n = create_dataset(path, samples)
+        assert n == 8
+
+        ds = PairedLMDBDataset(path, voc_type="lower",
+                               batch_hw=(16, 64), scale=2)
+        assert len(ds) == 8
+        hr, lr, label = ds[3]
+        assert hr.size == (64, 16) and lr.size == (32, 8)
+        assert label == syn.labels[3]
+
+        hr_b, lr_b, labels = next(ds.batches(4))
+        assert hr_b.shape == (4, 16, 64, 3) and lr_b.shape == (4, 8, 32, 3)
+        assert labels[0] == syn.labels[0]
