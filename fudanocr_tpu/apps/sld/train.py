@@ -1,0 +1,113 @@
+"""Stroke-level decomposition (IJCAI-21) entry point.
+
+Mirrors stroke-level-decomposition/train.py + config.py: a config dict with
+mode 'character'/'stroke', Adadelta lr 1.0, batch 32, 32x32 inputs; stroke
+mode decodes 5-class stroke strings ('<12345$' alphabet), Levenshtein-
+rectifies them to the nearest legal decomposition, and (when a confusable
+gallery is configured) disambiguates identical decompositions by conv-
+feature matching against printed-font galleries (util.py:188-275).
+
+Usage: python -m fudanocr_tpu.apps.sld.train [--options k=v ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from fudanocr_tpu.core.config import Config, merge_cli_overrides
+
+DEFAULT_CONFIG = Config({
+    "exp_name": "sld",
+    "epoch": 1,
+    "lr": 1.0,
+    "mode": "stroke",           # character / stroke
+    "batch": 32,
+    "val_frequency": 1000,
+    "test_only": False,
+    "resume": "",
+    "train_dataset": "",        # comma-separated LMDB roots; empty=synthetic
+    "test_dataset": "",
+    "weight_decay": False,
+    "image_size": 32,
+    "alphabet": 3755,
+    "decompose_table": "",      # decompose-stroke-3755.txt path
+    "ckpt_dir": "./ckpt/sld",
+    "max_len": 30,
+    "synthetic_samples": 64,
+})
+
+STROKE_ALPHABET = "<12345$"
+
+
+def build_codec_and_data(cfg):
+    from fudanocr_tpu.data.codecs import SequenceCodec, load_decomposition_table
+    from fudanocr_tpu.data.rec_dataset import RecLMDBDataset, SyntheticCharDataset
+    from fudanocr_tpu.eval.levenshtein import SequenceRectifier
+
+    if cfg.decompose_table:
+        table = load_decomposition_table(cfg.decompose_table, "sld")
+    else:
+        logging.warning("no decompose_table configured; generating a "
+                        "synthetic stroke table (tests/demo only)")
+        import random, string
+        rng = random.Random(0)
+        chars = string.ascii_uppercase + string.digits
+        table = {ch: "".join(rng.choice("12345")
+                             for _ in range(rng.randint(2, 6)))
+                 for ch in chars}
+
+    if cfg.mode not in ("stroke", "character"):
+        raise ValueError(f"mode must be 'stroke' or 'character', "
+                         f"got {cfg.mode!r}")
+    if cfg.mode == "stroke":
+        codec = SequenceCodec(STROKE_ALPHABET, table, terminator="$")
+        rectifier = SequenceRectifier(sorted(set(table.values())))
+    else:
+        charset = sorted(table.keys())
+        codec = SequenceCodec(["<"] + charset + ["$"], None, terminator="$")
+        rectifier = None
+
+    size = (cfg.image_size, cfg.image_size)
+    if cfg.train_dataset:
+        train = RecLMDBDataset(cfg.train_dataset.split(","), size)
+        test = RecLMDBDataset(cfg.test_dataset.split(","), size)
+    else:
+        charset = "".join(sorted(table.keys()))
+        train = SyntheticCharDataset(charset, cfg.synthetic_samples, size)
+        test = SyntheticCharDataset(charset, max(cfg.synthetic_samples // 4,
+                                                 8), size, seed=1)
+    return codec, rectifier, train, test
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    p = argparse.ArgumentParser(description="stroke-level decomposition CTR")
+    p.add_argument("--options", nargs="*", default=[])
+    args = p.parse_args(argv)
+    cfg = merge_cli_overrides(DEFAULT_CONFIG, args.options)
+
+    from fudanocr_tpu.models.rec.ocr_transformer import OCRTransformer
+    from fudanocr_tpu.train.ctr import CTRTrainer
+
+    codec, rectifier, train_data, test_data = build_codec_and_data(cfg)
+    model = OCRTransformer(vocab=codec.num_classes, num_in=3,
+                           layers=(3, 4, 6, 3), num_heads=4)
+
+    trainer = CTRTrainer(model, codec, train_data, test_data,
+                         batch_size=cfg.batch, lr=cfg.lr,
+                         weight_decay=1e-4 if cfg.weight_decay else 0.0,
+                         epochs=cfg.epoch, eval_every=cfg.val_frequency,
+                         max_len=cfg.max_len, rectifier=rectifier,
+                         ckpt_dir=cfg.ckpt_dir,
+                         image_size=(cfg.image_size, cfg.image_size))
+    if cfg.test_only:
+        print(trainer.evaluate(0))
+    else:
+        trainer.train()
+        print(trainer.evaluate(-1))
+
+
+if __name__ == "__main__":
+    main()

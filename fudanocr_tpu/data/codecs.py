@@ -66,7 +66,10 @@ class SequenceCodec:
             toks = []
             for ch in label:
                 if ch in self.decomposition:
-                    toks.extend(list(self.decomposition[ch]))
+                    dec = self.decomposition[ch]
+                    # decomposition values may be per-char strings (strokes)
+                    # or token lists (multi-char radicals)
+                    toks.extend(list(dec) if isinstance(dec, str) else dec)
         if self.terminator is not None:
             toks.append(self.terminator)
         return toks
@@ -85,6 +88,42 @@ class SequenceCodec:
             text_gt[i, :len(ids)] = ids
             text_input[i, 1:len(ids)] = ids[:-1]
         return text_input, text_gt, lengths
+
+
+def load_radical_table(path: str) -> Dict[str, List[str]]:
+    """image-ids-CTR decompose table: `char:r1 r2 r3` with multi-char
+    radical tokens (CCR-CLIP/utils.py:20-30)."""
+    table: Dict[str, List[str]] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            char, _, seq = line.partition(":")
+            if char == "" and seq == "":
+                char, seq = ":", ":"
+            table[char] = seq.split(" ")
+    return table
+
+
+def radical_codec(alphabet_path: Optional[str] = None,
+                  decompose_path: Optional[str] = None) -> SequenceCodec:
+    """CCR-CLIP radical codec: alphabet = ['PAD'] + file lines + ['$']
+    (CCR-CLIP/utils.py:10-17). Without files, a synthetic radical system
+    over latin letters is generated (tests/demo only)."""
+    if alphabet_path and decompose_path:
+        with open(alphabet_path, encoding="utf-8") as f:
+            radicals = [ln.strip("\n") for ln in f if ln.strip("\n")]
+        table = load_radical_table(decompose_path)
+    else:
+        import string
+        radicals = [f"r{i}" for i in range(12)]
+        import random
+        rng = random.Random(0)
+        table = {ch: [rng.choice(radicals) for _ in range(rng.randint(2, 4))]
+                 for ch in string.ascii_uppercase + string.digits}
+    alphabet = ["PAD"] + radicals + ["$"]
+    return SequenceCodec(alphabet, table, terminator="$")
 
 
 def english_stroke_codec(decomposition_path: Optional[str] = None

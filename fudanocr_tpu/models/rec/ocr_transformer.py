@@ -222,3 +222,28 @@ def greedy_decode(model: OCRTransformer, variables, image: jax.Array,
     tokens = jnp.full((b, max_len + 1), start_id, dtype=jnp.int32)
     tokens = jax.lax.fori_loop(0, max_len, body, tokens)
     return tokens[:, 1:]
+
+
+def greedy_decode_gallery(model: OCRTransformer, variables, image: jax.Array,
+                          gallery: jax.Array, max_len: int,
+                          start_id: int = 0) -> jax.Array:
+    """Greedy decode for embedding generators (CCR-CLIP stage 2): each
+    step's output embedding is L2-normalised and matched against the frozen
+    `gallery` (V, D) by cosine logits (image-ids-CTR/train.py:120-134)."""
+    b = image.shape[0]
+    memory = model.apply(variables, image, method=model.encode)
+    g = gallery.astype(jnp.float32)
+
+    def body(i, tokens):
+        out, _, _ = model.apply(variables, memory, tokens,
+                                method=model.decode_step)
+        emb = out[:, i, :].astype(jnp.float32)
+        emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True),
+                                1e-8)
+        logits = emb @ g.T
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
+
+    tokens = jnp.full((b, max_len + 1), start_id, dtype=jnp.int32)
+    tokens = jax.lax.fori_loop(0, max_len, body, tokens)
+    return tokens[:, 1:]
