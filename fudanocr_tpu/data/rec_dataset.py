@@ -68,6 +68,34 @@ class RecLMDBDataset:
             yield images, labels
 
 
+class OrientationLMDBDataset(RecLMDBDataset):
+    """OI-CTR reader (orientation-independent-CTR/data/lmdbReader.py:80-133):
+    aspect-ratio rule 1.5*w >= h -> horizontal (is_v=0), else vertical
+    (is_v=1, rotated 90° into the horizontal frame). Batches yield
+    (images, labels, is_v)."""
+
+    def __getitem__(self, index):
+        reader, i = self._locate(index)
+        label = (reader.get(b"label-%09d" % i) or b"").decode()
+        img = Image.open(io.BytesIO(reader.get(b"image-%09d" % i)))
+        img = img.convert("RGB")
+        w, h = img.size
+        is_v = 0 if 1.5 * w >= h else 1
+        if is_v:
+            img = img.transpose(Image.ROTATE_90)
+        img = img.resize((self.image_size[1], self.image_size[0]),
+                         Image.BILINEAR)
+        arr = np.asarray(img, np.float32) / 127.5 - 1.0
+        return arr, label, is_v
+
+    def batches(self, batch_size: int, **_):
+        for start in range(0, len(self) - batch_size + 1, batch_size):
+            samples = [self[i] for i in range(start, start + batch_size)]
+            yield (np.stack([a for a, _, _ in samples]),
+                   [l for _, l, _ in samples],
+                   np.asarray([v for _, _, v in samples], np.int32))
+
+
 class SyntheticCharDataset:
     """Hermetic stand-in for the font-rendered char LMDBs: renders single
     'characters' (latin glyphs as proxies) on noisy canvases."""

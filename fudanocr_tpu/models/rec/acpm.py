@@ -1,0 +1,192 @@
+"""ACPM — augmented character profile matching (ACM MM-22).
+
+Rebuild of character-profile-matching/model/transformer.py:306-567 (+
+densenet.py, vgg.py): the shared radical decoder plus three profile heads
+on the 1024-ch conv features:
+
+* `RadicalCounter` — 3 conv+BN+ReLU stages (1024->512->256->64), GAP,
+  linear to a scalar (L1 regression) or 11-way distribution (CE);
+* `StrokeCounter` — shared CNN (1024->512->256->128) feeding an N head
+  (GAP -> 4 orientation counts) and an L head (two more convs -> GAP -> 4
+  orientation lengths);
+* selectable encoder: the OCR ResNet, a VGG stack, or a DenseNet.
+
+All heads consume the same encoder output, so XLA fuses them into one
+program; the profile matching itself (Levenshtein candidates + weighted
+similarity) is host-side (eval/profile_matching.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from fudanocr_tpu.models.rec.ocr_transformer import (OCRDecoderLayer,
+                                                     OCRResNet)
+from fudanocr_tpu.nn.attention import positional_encoding_1d, subsequent_mask
+from fudanocr_tpu.nn.layers import ConvBNReLU, max_pool
+from fudanocr_tpu.nn.stn import STNHead
+from fudanocr_tpu.nn.tps import TPSSpatialTransformer
+
+Dtype = Any
+
+
+class VGGEncoder(nn.Module):
+    """character-profile-matching/model/vgg.py:4-60 (NHWC)."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        plan = [(64, True), (64, True), (128, False), (128, False),
+                (256, False), (256, False), (512, False), (512, False),
+                (512, False), (512, False), (512, False), (1024, False)]
+        for i, (f, pool) in enumerate(plan):
+            x = ConvBNReLU(f, dtype=self.dtype, name=f"block{i}")(x, train)
+            if pool:
+                x = max_pool(x, 2)
+        return x
+
+
+class DenseNetEncoder(nn.Module):
+    """Compact DenseNet (densenet.py:54-107 shape): stem + 3 dense blocks
+    with transitions, BN-ReLU-1x1-BN-ReLU-3x3 layers, 1024-ch output."""
+
+    growth: int = 32
+    block_config: Sequence[int] = (4, 8, 8)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.dtype, name=name)
+        x = nn.Conv(64, (3, 3), dtype=self.dtype, name="stem")(x)
+        x = nn.relu(bn("stem_bn")(x))
+        x = max_pool(x, 2)
+        for b, n_layers in enumerate(self.block_config):
+            for i in range(n_layers):
+                h = nn.Conv(4 * self.growth, (1, 1), dtype=self.dtype,
+                            name=f"b{b}l{i}_conv1")(x)
+                h = nn.relu(bn(f"b{b}l{i}_bn1")(h))
+                h = nn.Conv(self.growth, (3, 3), dtype=self.dtype,
+                            name=f"b{b}l{i}_conv2")(h)
+                h = nn.relu(bn(f"b{b}l{i}_bn2")(h))
+                x = jnp.concatenate([x, h], axis=-1)
+            if b < len(self.block_config) - 1:
+                x = nn.Conv(x.shape[-1] // 2, (1, 1), dtype=self.dtype,
+                            name=f"trans{b}")(x)
+                x = max_pool(x, 2)
+        x = nn.Conv(1024, (3, 3), dtype=self.dtype, name="head")(x)
+        return nn.relu(bn("head_bn")(x))
+
+
+class RadicalCounter(nn.Module):
+    rn_loss: str = "L1"  # 'L1' -> scalar, 'CE' -> 11-way softmax
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i, f in enumerate((512, 256, 64)):
+            x = ConvBNReLU(f, dtype=self.dtype, name=f"conv{i}")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        if self.rn_loss == "L1":
+            return nn.Dense(1, dtype=self.dtype, name="linear")(x)[:, 0]
+        x = nn.Dense(11, dtype=self.dtype, name="linear")(x)
+        return jax.nn.softmax(x, axis=-1)
+
+
+class StrokeCounter(nn.Module):
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        for i, f in enumerate((512, 256, 128)):
+            x = ConvBNReLU(f, dtype=self.dtype, name=f"shared{i}")(x, train)
+        n = nn.Dense(4, dtype=self.dtype, name="count_n")(
+            jnp.mean(x, axis=(1, 2)))
+        h = ConvBNReLU(64, dtype=self.dtype, name="l_conv0")(x, train)
+        h = ConvBNReLU(32, dtype=self.dtype, name="l_conv1")(h, train)
+        l = nn.Dense(4, dtype=self.dtype, name="count_l")(
+            jnp.mean(h, axis=(1, 2)))
+        return n, l
+
+
+class ACPM(nn.Module):
+    vocab: int
+    encoder: str = "resnet"   # resnet / densenet / vgg
+    rn_loss: str = "L1"
+    stn: bool = False
+    num_heads: int = 4
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        if self.encoder == "resnet":
+            self._encoder = OCRResNet(3, (3, 4, 6, 3), dtype=self.dtype,
+                                      name="encoder")
+        elif self.encoder == "densenet":
+            self._encoder = DenseNetEncoder(dtype=self.dtype, name="encoder")
+        elif self.encoder == "vgg":
+            self._encoder = VGGEncoder(dtype=self.dtype, name="encoder")
+        else:
+            raise ValueError(self.encoder)
+        if self.stn:
+            self._stn_head = STNHead(num_ctrlpoints=20, dtype=self.dtype,
+                                     name="stn_head")
+            self._tps = TPSSpatialTransformer(output_size=(32, 32),
+                                              num_control_points=20,
+                                              margins=(0.05, 0.05),
+                                              name="tps")
+        self._embed = nn.Embed(self.vocab, 512, dtype=self.dtype,
+                               name="embed")
+        self._decoder = OCRDecoderLayer(self.num_heads, 1024, 2048,
+                                        dtype=self.dtype, name="decoder")
+        self._generator = nn.Dense(self.vocab, dtype=self.dtype,
+                                   name="generator")
+        self._rsc_r = RadicalCounter(self.rn_loss, dtype=self.dtype,
+                                     name="rsc_r")
+        self._rsc_s = StrokeCounter(dtype=self.dtype, name="rsc_s")
+
+    def rectify(self, image: jax.Array, train: bool = False) -> jax.Array:
+        if not self.stn:
+            return image
+        _, ctrl = self._stn_head(image, train)
+        warped, _ = self._tps(image, ctrl)
+        return warped
+
+    def encode(self, image: jax.Array, train: bool = False) -> jax.Array:
+        image = self.rectify(image, train)
+        conv = self._encoder(image, train)
+        b, h, w, c = conv.shape
+        return conv.reshape(b, h * w, c)
+
+    def decode_step(self, memory: jax.Array, text_input: jax.Array,
+                    train: bool = False,
+                    attention_map: Optional[jax.Array] = None):
+        b, l = text_input.shape
+        emb = self._embed(text_input) * math.sqrt(512)
+        pe = jnp.asarray(positional_encoding_1d(512, l), dtype=emb.dtype)
+        x = jnp.concatenate([emb, jnp.broadcast_to(pe, (b, l, 512))],
+                            axis=-1)
+        mask = jnp.asarray(subsequent_mask(l))[None, None]
+        x, attn_map = self._decoder(x, memory, mask,
+                                    deterministic=not train,
+                                    attention_map=attention_map)
+        return self._generator(x), attn_map, x
+
+    def __call__(self, image: jax.Array, text_input: jax.Array,
+                 train: bool = False) -> Dict[str, jax.Array]:
+        image = self.rectify(image, train)
+        conv = self._encoder(image, train)
+        b, h, w, c = conv.shape
+        memory = conv.reshape(b, h * w, c)
+        pred, attn_map, hidden = self.decode_step(memory, text_input, train)
+        r_num = self._rsc_r(conv, train)
+        s_num, s_len = self._rsc_s(conv, train)
+        return {"pred": pred, "map": attn_map, "conv": memory,
+                "hidden": hidden, "r_num": r_num, "s_num": s_num,
+                "s_len": s_len}
