@@ -1,0 +1,115 @@
+"""Scene text segmentation trainer (text-focused Transformers).
+
+Mirrors text-focused-Transformers/tools/train.py: config with `_base_`
+inheritance, CascadeMiT + SegFormer head, AdamW paramwise / poly LR,
+periodic mIoU/mFscore eval.
+
+Usage:
+  python -m fudanocr_tpu.apps.seg.train configs/seg/textformer_b0_textseg.yaml \
+      [--options k.subk=v ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from fudanocr_tpu.core.config import load_config, merge_cli_overrides
+
+log = logging.getLogger("fudanocr_tpu.seg_app")
+
+DATASET_MAPPINGS = {
+    "textseg": "TEXTSEG_MAPPING",
+    "bts": "BTS_MAPPING",
+    "totaltext": "TOTALTEXT_MAPPING",
+    "icdar13": "ICDAR13_MAPPING",
+    "mlt": "MLT_MAPPING",
+}
+
+
+def build_data(cfg, train: bool):
+    from fudanocr_tpu.data import seg_pipeline as pp
+    from fudanocr_tpu.data.seg_dataset import SegDataset, SyntheticTextSeg
+
+    d = cfg.data
+    crop = tuple(d.crop_size)
+    train_pipeline = [
+        pp.LoadImageFromFile(),
+        pp.Resize((crop[1] * 2, crop[0] * 2), (0.5, 2.0)),
+        pp.RandomCrop(crop),
+        pp.RandomFlip(0.5),
+        pp.PhotoMetricDistortion(),
+        pp.Normalize(),
+        pp.Pad(crop),
+    ]
+    test_pipeline = [pp.LoadImageFromFile(), pp.Normalize(), pp.Pad(crop)]
+    pipeline = train_pipeline if train else test_pipeline
+
+    if d.dataset == "synthetic" or not d.img_dir:
+        size = tuple(d.synthetic_size)
+        n = d.synthetic_samples
+        pipe = [pp.Normalize()]  # keep synthetic geometry fixed
+        return SyntheticTextSeg(n if train else max(n // 4, 4), size, pipe,
+                                seed=0 if train else 1)
+    mapping = getattr(pp, DATASET_MAPPINGS[d.dataset])
+    pipeline.insert(1, pp.LoadAnnotations(mapping))
+    img_dir = d.img_dir if train else (d.val_img_dir or d.img_dir)
+    ann_dir = d.ann_dir if train else (d.val_ann_dir or d.ann_dir)
+    return SegDataset(img_dir, ann_dir, pipeline)
+
+
+def build_model(cfg):
+    from fudanocr_tpu.models.seg import (CascadeMiT, EncoderDecoder,
+                                         SegformerHead)
+
+    b = cfg.model.backbone
+    h = cfg.model.decode_head
+    return EncoderDecoder(
+        backbone=CascadeMiT(embed_dims=b.embed_dims,
+                            num_layers=tuple(b.num_layers),
+                            num_heads=tuple(b.num_heads),
+                            sr_ratios=tuple(b.sr_ratios),
+                            drop_path_rate=b.drop_path_rate),
+        decode_head=SegformerHead(num_classes=h.num_classes,
+                                  channels=h.channels,
+                                  dropout_ratio=h.dropout_ratio))
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    p = argparse.ArgumentParser(description="scene text segmentation")
+    p.add_argument("config")
+    p.add_argument("--test-only", action="store_true")
+    p.add_argument("--options", nargs="*", default=[])
+    args = p.parse_args(argv)
+    cfg = merge_cli_overrides(load_config(args.config), args.options)
+
+    from fudanocr_tpu.train.seg import SegTrainer
+
+    model = build_model(cfg)
+    train_data = build_data(cfg, True)
+    eval_data = build_data(cfg, False)
+
+    use_slide = (cfg.test.mode == "slide"
+                 and cfg.data.dataset != "synthetic" and cfg.data.img_dir)
+    trainer = SegTrainer(
+        model, train_data, eval_data,
+        num_classes=cfg.model.decode_head.num_classes,
+        batch_size=cfg.data.batch_size, lr=cfg.optimizer.lr,
+        total_iters=cfg.schedule.total_iters,
+        eval_every=cfg.schedule.eval_every,
+        loss_weights=cfg.loss.to_dict(),
+        crop=tuple(cfg.test.crop) if use_slide else None,
+        stride=tuple(cfg.test.stride) if use_slide else None,
+        ckpt_dir=cfg.ckpt_dir)
+
+    if args.test_only:
+        print(trainer.evaluate(0))
+    else:
+        trainer.train()
+        print(trainer.evaluate(-1))
+
+
+if __name__ == "__main__":
+    main()

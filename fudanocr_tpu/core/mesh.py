@@ -39,6 +39,20 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_mesh_for_batch(batch_size: int,
+                        devices: Optional[Sequence[jax.Device]] = None
+                        ) -> Mesh:
+    """Mesh whose 'data' axis divides `batch_size` (unused devices are left
+    out rather than forcing padded batches)."""
+    import math
+
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    data = math.gcd(n, batch_size)
+    return make_mesh(devices[:data], data=data, model=1)
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'; rest replicated."""
     spec = P("data", *([None] * (ndim - 1)))

@@ -1,0 +1,205 @@
+"""Segmentation data pipelines (host-side numpy).
+
+Rebuilds of text-focused-Transformers/mmseg/datasets/pipelines/
+{loading.py:170-262, transforms.py:13-1073, test_time_aug.py}: composable
+callables over a sample dict {'img': HxWx3 uint8, 'gt_seg': HxW uint8}.
+Each dataset flavour remaps raw annotation values into {0,1,ignore}
+(e.g. TextSeg: 100 -> text, 255 -> ignore; BTS/TotalText/ICDAR13/MLT each
+have their own mapping — loading.py:229-262).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+Sample = Dict[str, np.ndarray]
+
+
+class Compose:
+    def __init__(self, transforms: Sequence[Callable]):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample: Sample) -> Sample:
+        for t in self.transforms:
+            sample = t(sample)
+        return sample
+
+
+class LoadImageFromFile:
+    def __call__(self, sample: Sample) -> Sample:
+        if "img" not in sample and "img_path" in sample:
+            sample["img"] = np.asarray(
+                Image.open(sample["img_path"]).convert("RGB"))
+        return sample
+
+
+class LoadAnnotations:
+    """Load + remap the raw annotation map. `mapping` maps raw values to
+    class ids; unmapped values go to `default` (e.g. ignore=255)."""
+
+    def __init__(self, mapping: Optional[Dict[int, int]] = None,
+                 default: int = 0):
+        self.mapping = mapping
+        self.default = default
+
+    def __call__(self, sample: Sample) -> Sample:
+        if "gt_seg" not in sample and "seg_path" in sample:
+            sample["gt_seg"] = np.asarray(Image.open(sample["seg_path"]))
+        if self.mapping is not None:
+            raw = sample["gt_seg"]
+            out = np.full_like(raw, self.default)
+            for src, dst in self.mapping.items():
+                out[raw == src] = dst
+            sample["gt_seg"] = out
+        return sample
+
+
+# dataset-specific remaps (loading.py:229-262)
+TEXTSEG_MAPPING = {100: 1, 255: 255}     # bg=0, text=100->1, ignore=255
+BTS_MAPPING = {255: 1}
+TOTALTEXT_MAPPING = {255: 1}
+ICDAR13_MAPPING = {255: 1}
+MLT_MAPPING = {255: 1}
+
+
+class Resize:
+    """Ratio-range random resize (transforms.py Resize with ratio_range)."""
+
+    def __init__(self, img_scale: Tuple[int, int],
+                 ratio_range: Tuple[float, float] = (0.5, 2.0),
+                 rng: Optional[random.Random] = None):
+        self.img_scale = img_scale
+        self.ratio_range = ratio_range
+        self.rng = rng or random
+
+    def __call__(self, sample: Sample) -> Sample:
+        ratio = self.rng.uniform(*self.ratio_range)
+        w = max(int(self.img_scale[0] * ratio), 1)
+        h = max(int(self.img_scale[1] * ratio), 1)
+        img = Image.fromarray(sample["img"]).resize((w, h), Image.BILINEAR)
+        sample["img"] = np.asarray(img)
+        if "gt_seg" in sample:
+            seg = Image.fromarray(sample["gt_seg"]).resize((w, h),
+                                                           Image.NEAREST)
+            sample["gt_seg"] = np.asarray(seg)
+        return sample
+
+
+class RandomCrop:
+    def __init__(self, crop_size: Tuple[int, int],
+                 cat_max_ratio: float = 0.75,
+                 ignore_index: int = 255,
+                 rng: Optional[random.Random] = None):
+        self.crop_size = crop_size
+        self.cat_max_ratio = cat_max_ratio
+        self.ignore_index = ignore_index
+        self.rng = rng or random
+
+    def _crop_box(self, shape):
+        h, w = shape[:2]
+        ch, cw = self.crop_size
+        y = self.rng.randint(0, max(h - ch, 0))
+        x = self.rng.randint(0, max(w - cw, 0))
+        return y, x
+
+    def __call__(self, sample: Sample) -> Sample:
+        ch, cw = self.crop_size
+        img, seg = sample["img"], sample.get("gt_seg")
+        for _ in range(10):
+            y, x = self._crop_box(img.shape)
+            crop_seg = None if seg is None else seg[y:y + ch, x:x + cw]
+            if seg is None or self.cat_max_ratio >= 1.0:
+                break
+            labels, counts = np.unique(crop_seg, return_counts=True)
+            counts = counts[labels != self.ignore_index]
+            if len(counts) > 1 and counts.max() / counts.sum() \
+                    < self.cat_max_ratio:
+                break
+        sample["img"] = img[y:y + ch, x:x + cw]
+        if seg is not None:
+            sample["gt_seg"] = seg[y:y + ch, x:x + cw]
+        return sample
+
+
+class RandomFlip:
+    def __init__(self, prob: float = 0.5,
+                 rng: Optional[random.Random] = None):
+        self.prob = prob
+        self.rng = rng or random
+
+    def __call__(self, sample: Sample) -> Sample:
+        if self.rng.random() < self.prob:
+            sample["img"] = sample["img"][:, ::-1].copy()
+            if "gt_seg" in sample:
+                sample["gt_seg"] = sample["gt_seg"][:, ::-1].copy()
+        return sample
+
+
+class PhotoMetricDistortion:
+    """brightness/contrast/saturation/hue jitter (transforms.py)."""
+
+    def __init__(self, brightness_delta: int = 32,
+                 contrast_range=(0.5, 1.5), saturation_range=(0.5, 1.5),
+                 hue_delta: int = 18, rng: Optional[random.Random] = None):
+        self.bd = brightness_delta
+        self.cr = contrast_range
+        self.sr = saturation_range
+        self.hd = hue_delta
+        self.rng = rng or random
+
+    def __call__(self, sample: Sample) -> Sample:
+        img = sample["img"].astype(np.float32)
+        if self.rng.random() < 0.5:
+            img = img + self.rng.uniform(-self.bd, self.bd)
+        if self.rng.random() < 0.5:
+            img = img * self.rng.uniform(*self.cr)
+        # saturation/hue via HSV
+        if self.rng.random() < 0.5:
+            import cv2
+            hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                               cv2.COLOR_RGB2HSV).astype(np.float32)
+            hsv[..., 1] *= self.rng.uniform(*self.sr)
+            hsv[..., 0] = (hsv[..., 0]
+                           + self.rng.uniform(-self.hd, self.hd)) % 180
+            img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
+                               cv2.COLOR_HSV2RGB).astype(np.float32)
+        sample["img"] = np.clip(img, 0, 255).astype(np.uint8)
+        return sample
+
+
+class Normalize:
+    def __init__(self, mean=(123.675, 116.28, 103.53),
+                 std=(58.395, 57.12, 57.375)):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, sample: Sample) -> Sample:
+        sample["img"] = ((sample["img"].astype(np.float32) - self.mean)
+                         / self.std)
+        return sample
+
+
+class Pad:
+    """Pad to a fixed size (img with 0, seg with ignore_index)."""
+
+    def __init__(self, size: Tuple[int, int], ignore_index: int = 255):
+        self.size = size
+        self.ignore_index = ignore_index
+
+    def __call__(self, sample: Sample) -> Sample:
+        h, w = sample["img"].shape[:2]
+        ph = max(self.size[0] - h, 0)
+        pw = max(self.size[1] - w, 0)
+        if ph or pw:
+            sample["img"] = np.pad(sample["img"],
+                                   ((0, ph), (0, pw), (0, 0)))
+            if "gt_seg" in sample:
+                sample["gt_seg"] = np.pad(
+                    sample["gt_seg"], ((0, ph), (0, pw)),
+                    constant_values=self.ignore_index)
+        return sample

@@ -1,0 +1,115 @@
+"""Segmentation losses: CE, Dice, Focal, Tversky, Lovász-softmax, accuracy.
+
+Rebuilds of text-focused-Transformers/mmseg/models/losses/*.py on dense
+(B, H, W, C) logits with an (B, H, W) int label map and `ignore_index`.
+The Lovász extension sorts per-class errors — O(P log P) on device, which
+XLA lowers to a bitonic sort; fine at the 1/4-resolution logits the
+reference applies it to.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _valid_mask(labels: jax.Array, ignore_index: int) -> jax.Array:
+    return (labels != ignore_index)
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
+                       class_weight: Optional[jax.Array] = None,
+                       ignore_index: int = 255) -> jax.Array:
+    valid = _valid_mask(labels, ignore_index)
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    w = valid.astype(jnp.float32)
+    if class_weight is not None:
+        w = w * class_weight[safe]
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def dice_loss(logits: jax.Array, labels: jax.Array, smooth: float = 1.0,
+              ignore_index: int = 255) -> jax.Array:
+    c = logits.shape[-1]
+    valid = _valid_mask(labels, ignore_index)[..., None].astype(jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) * valid
+    onehot = jax.nn.one_hot(jnp.where(_valid_mask(labels, ignore_index),
+                                      labels, 0), c) * valid
+    dims = tuple(range(1, logits.ndim - 1))
+    inter = jnp.sum(probs * onehot, axis=dims)
+    denom = jnp.sum(probs, axis=dims) + jnp.sum(onehot, axis=dims)
+    dice = (2 * inter + smooth) / (denom + smooth)
+    return 1.0 - jnp.mean(dice)
+
+
+def focal_loss(logits: jax.Array, labels: jax.Array, gamma: float = 2.0,
+               alpha: float = 0.25, ignore_index: int = 255) -> jax.Array:
+    valid = _valid_mask(labels, ignore_index)
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    pt = jnp.exp(jnp.take_along_axis(logp, safe[..., None], axis=-1))[..., 0]
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    loss = alpha * (1.0 - pt) ** gamma * nll
+    w = valid.astype(jnp.float32)
+    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def tversky_loss(logits: jax.Array, labels: jax.Array, alpha: float = 0.3,
+                 beta: float = 0.7, smooth: float = 1.0,
+                 ignore_index: int = 255) -> jax.Array:
+    c = logits.shape[-1]
+    valid = _valid_mask(labels, ignore_index)[..., None].astype(jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) * valid
+    onehot = jax.nn.one_hot(jnp.where(_valid_mask(labels, ignore_index),
+                                      labels, 0), c) * valid
+    dims = tuple(range(1, logits.ndim - 1))
+    tp = jnp.sum(probs * onehot, axis=dims)
+    fp = jnp.sum(probs * (1 - onehot), axis=dims)
+    fn = jnp.sum((1 - probs) * onehot, axis=dims)
+    tv = (tp + smooth) / (tp + alpha * fp + beta * fn + smooth)
+    return 1.0 - jnp.mean(tv)
+
+
+def _lovasz_grad(gt_sorted: jax.Array) -> jax.Array:
+    p = gt_sorted.shape[0]
+    gts = jnp.sum(gt_sorted)
+    inter = gts - jnp.cumsum(gt_sorted, 0)
+    union = gts + jnp.cumsum(1.0 - gt_sorted, 0)
+    jac = 1.0 - inter / jnp.maximum(union, 1e-8)
+    return jnp.concatenate([jac[:1], jac[1:] - jac[:-1]])
+
+
+def lovasz_softmax_loss(logits: jax.Array, labels: jax.Array,
+                        ignore_index: int = 255) -> jax.Array:
+    """Lovász-softmax over all valid pixels, mean over present classes."""
+    c = logits.shape[-1]
+    probs = jax.nn.softmax(
+        logits.astype(jnp.float32), axis=-1).reshape(-1, c)
+    flat = labels.reshape(-1)
+    valid = (flat != ignore_index)
+    safe = jnp.where(valid, flat, 0)
+
+    def per_class(ci):
+        fg = ((safe == ci) & valid).astype(jnp.float32)
+        errors = jnp.where(valid, jnp.abs(fg - probs[:, ci]), 0.0)
+        order = jnp.argsort(-errors)
+        e_sorted = errors[order]
+        fg_sorted = fg[order]
+        loss_c = jnp.sum(e_sorted * _lovasz_grad(fg_sorted))
+        present = jnp.sum(fg) > 0
+        return jnp.where(present, loss_c, 0.0), present.astype(jnp.float32)
+
+    losses, present = jax.vmap(per_class)(jnp.arange(c))
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(present), 1.0)
+
+
+def seg_accuracy(logits: jax.Array, labels: jax.Array,
+                 ignore_index: int = 255) -> jax.Array:
+    valid = _valid_mask(labels, ignore_index)
+    pred = jnp.argmax(logits, axis=-1)
+    hit = ((pred == labels) & valid).astype(jnp.float32)
+    return jnp.sum(hit) / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)

@@ -1,0 +1,252 @@
+"""Cascade MixVisionTransformer backbone (text-focused Transformers,
+ACM MM-23).
+
+Rebuild of text-focused-Transformers/mmseg/models/backbones/
+cascade_mit.py:40-524: a 7x7/4 conv stem plus three ResNet basic-block
+stages produce a pyramid (dims x [1,2,5,8]); the transformer runs TOP-DOWN
+as a cascade — the coarsest level first, each result upsampled, refined by
+the next stage's transformer, and fused with the corresponding pyramid
+level through concat + 1x1 conv. Each transformer stage keeps SegFormer's
+pieces: overlapped patch embed (3x3/1 here), efficient attention with
+spatial-reduction `sr_ratio` on K/V, MixFFN (1x1 -> 3x3 depthwise -> GELU
+-> 1x1), pre-LN, stochastic depth.
+
+TPU-first: NHWC; attention QK^T runs through the shared fused-MHA einsum
+path (fp32 softmax); the sr-reduction is one strided conv; drop-path is a
+per-sample bernoulli mask under the 'dropout' rng.
+
+The det-guided V10 variant (cascade_mit.py:4581-5131) is layered on top in
+`det_guided.py` — it adds the multi-scale det head and attention-mask
+gating; see that module.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+def drop_path(x: jax.Array, rate: float, deterministic: bool,
+              rng=None) -> jax.Array:
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class ResNetBlock(nn.Module):
+    """Basic block with biased convs (cascade_mit.py:45-67)."""
+
+    features: int
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.dtype,
+                                       name=name)
+        s = (self.stride, self.stride)
+        r = x
+        y = nn.Conv(self.features, (3, 3), s, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv2")(y)
+        y = bn("bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            r = nn.Conv(self.features, (1, 1), s, dtype=self.dtype,
+                        name="short_conv")(r)
+            r = bn("short_bn")(r)
+        return nn.relu(y + r)
+
+
+class EfficientAttention(nn.Module):
+    """SegFormer attention with spatial-reduction on K/V
+    (cascade_mit.py:94-215). Operates on (B, H, W, C)."""
+
+    num_heads: int
+    sr_ratio: int = 1
+    qkv_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 attn_mask: Optional[jax.Array] = None) -> jax.Array:
+        b, h, w, c = x.shape
+        q_in = x.reshape(b, h * w, c)
+        if self.sr_ratio > 1:
+            kv = nn.Conv(c, (self.sr_ratio, self.sr_ratio),
+                         (self.sr_ratio, self.sr_ratio), padding="VALID",
+                         dtype=self.dtype, name="sr")(x)
+            kv = nn.LayerNorm(epsilon=1e-6, name="sr_norm")(kv)
+            kv = kv.reshape(b, -1, c)
+        else:
+            kv = q_in
+
+        nh, hd = self.num_heads, c // self.num_heads
+        q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="q")(q_in)
+        k = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="k")(kv)
+        v = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="v")(kv)
+        q = q.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        s = s / math.sqrt(hd)
+        if attn_mask is not None:
+            s = jnp.where(attn_mask, s, jnp.float32(-1e30))
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        o = nn.Dense(c, dtype=self.dtype, name="proj")(o)
+        return o.reshape(b, h, w, c)
+
+
+class MixFFN(nn.Module):
+    """1x1 conv -> 3x3 depthwise (positional) -> GELU -> 1x1 conv
+    (cascade_mit.py:40-92)."""
+
+    hidden: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        c = x.shape[-1]
+        y = nn.Conv(self.hidden, (1, 1), dtype=self.dtype, name="fc1")(x)
+        y = nn.Conv(self.hidden, (3, 3), feature_group_count=self.hidden,
+                    dtype=self.dtype, name="pe_conv")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="fc2")(y)
+        return y
+
+
+class TransformerEncoderLayer(nn.Module):
+    num_heads: int
+    mlp_ratio: int = 4
+    sr_ratio: int = 1
+    drop_path_rate: float = 0.0
+    qkv_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 attn_mask: Optional[jax.Array] = None) -> jax.Array:
+        c = x.shape[-1]
+        rng = (None if deterministic or self.drop_path_rate == 0.0
+               else self.make_rng("dropout"))
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        h = EfficientAttention(self.num_heads, self.sr_ratio, self.qkv_bias,
+                               dtype=self.dtype, name="attn")(
+            h, deterministic, attn_mask)
+        x = x + drop_path(h, self.drop_path_rate, deterministic, rng)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = MixFFN(c * self.mlp_ratio, dtype=self.dtype, name="ffn")(
+            h, deterministic)
+        rng2 = (None if deterministic or self.drop_path_rate == 0.0
+                else self.make_rng("dropout"))
+        return x + drop_path(h, self.drop_path_rate, deterministic, rng2)
+
+
+class CascadeStage(nn.Module):
+    """Patch embed (3x3/1) + N encoder layers + LN for one cascade level."""
+
+    embed_dim: int
+    num_layers: int
+    num_heads: int
+    sr_ratio: int
+    mlp_ratio: int = 4
+    drop_path_rates: Sequence[float] = ()
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 attn_mask: Optional[jax.Array] = None) -> jax.Array:
+        x = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype,
+                    name="patch_embed")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="patch_norm")(x)
+        for i in range(self.num_layers):
+            dpr = (self.drop_path_rates[i]
+                   if i < len(self.drop_path_rates) else 0.0)
+            x = TransformerEncoderLayer(
+                self.num_heads, self.mlp_ratio, self.sr_ratio, dpr,
+                dtype=self.dtype, name=f"layer{i}")(x, deterministic,
+                                                    attn_mask)
+        return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+
+
+class CascadeMiT(nn.Module):
+    """Top-down cascade SegFormer backbone -> 4-scale pyramid
+    [(1/4, d), (1/8, 2d), (1/16, 5d), (1/32, 8d)]."""
+
+    embed_dims: int = 32
+    num_layers: Sequence[int] = (2, 2, 2, 2)
+    num_heads: Sequence[int] = (1, 2, 5, 8)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    mlp_ratio: int = 4
+    drop_path_rate: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
+        d = self.embed_dims
+        nh = self.num_heads
+        deterministic = not train
+
+        # conv stem + ResNet pyramid (cascade_mit.py:455-474,497-501)
+        x1 = nn.Conv(d, (7, 7), (4, 4), dtype=self.dtype, name="stem_conv")(x)
+        x1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype,
+                          name="stem_bn")(x1)
+        x2 = ResNetBlock(d * nh[1], 2, dtype=self.dtype,
+                         name="layer1_0")(x1, train)
+        x2 = ResNetBlock(d * nh[1], 1, dtype=self.dtype,
+                         name="layer1_1")(x2, train)
+        x3 = ResNetBlock(d * nh[2], 2, dtype=self.dtype,
+                         name="layer2_0")(x2, train)
+        x3 = ResNetBlock(d * nh[2], 1, dtype=self.dtype,
+                         name="layer2_1")(x3, train)
+        x4 = ResNetBlock(d * nh[3], 2, dtype=self.dtype,
+                         name="layer3_0")(x3, train)
+        x4 = ResNetBlock(d * nh[3], 1, dtype=self.dtype,
+                         name="layer3_1")(x4, train)
+
+        # stochastic-depth schedule over all layers
+        total = sum(self.num_layers)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1)
+               for i in range(total)]
+        offsets = [sum(self.num_layers[:i]) for i in range(4)]
+
+        def stage(i, inp, mask=None):
+            return CascadeStage(
+                d * nh[i], self.num_layers[i], nh[i], self.sr_ratios[i],
+                self.mlp_ratio,
+                tuple(dpr[offsets[i]:offsets[i] + self.num_layers[i]]),
+                dtype=self.dtype, name=f"stage{i}")(inp, deterministic, mask)
+
+        def up(t, ref):
+            return jax.image.resize(
+                t, (t.shape[0], ref.shape[1], ref.shape[2], t.shape[3]),
+                "bilinear")
+
+        fuse = lambda i, a, b: nn.Conv(
+            a.shape[-1], (1, 1), use_bias=False, dtype=self.dtype,
+            name=f"fuse{i}")(jnp.concatenate([a, b], axis=-1))
+
+        # top-down cascade (cascade_mit.py:504-522)
+        x4_ = fuse(4, x4, stage(3, x4))
+        x3_ = fuse(3, x3, stage(2, up(x4_, x3)))
+        x2_ = fuse(2, x2, stage(1, up(x3_, x2)))
+        x1_ = fuse(1, x1, stage(0, up(x2_, x1)))
+        return [x1_, x2_, x3_, x4_]

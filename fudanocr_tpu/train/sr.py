@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fudanocr_tpu.core import checkpoint as ckpt_lib
-from fudanocr_tpu.core.mesh import make_mesh
+from fudanocr_tpu.core.mesh import make_mesh, make_mesh_for_batch
 from fudanocr_tpu.eval.ctc import CTCLabelConverter, ctc_greedy_decode
 from fudanocr_tpu.eval.metrics import psnr, ssim, sequence_accuracy
 from fudanocr_tpu.losses.sr_losses import encode_text_labels
@@ -114,7 +114,7 @@ class SRTrainer:
         self.recognizer = recognizer
         self.rec_variables = rec_variables
         self.converter = converter
-        self.mesh = mesh or make_mesh()
+        self.mesh = mesh or make_mesh_for_batch(batch_size)
         self.rng = jax.random.PRNGKey(seed)
 
         sample_hr, sample_lr, _ = next(iter(self._batches(train_data)))
