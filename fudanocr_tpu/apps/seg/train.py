@@ -59,20 +59,21 @@ def build_data(cfg, train: bool):
 
 
 def build_model(cfg):
-    from fudanocr_tpu.models.seg import (CascadeMiT, EncoderDecoder,
-                                         SegformerHead)
+    from fudanocr_tpu.models.seg import (CascadeMiT, CascadeMiTDetGuided,
+                                         DetGuidedEncoderDecoder,
+                                         EncoderDecoder, SegformerHead)
 
     b = cfg.model.backbone
     h = cfg.model.decode_head
-    return EncoderDecoder(
-        backbone=CascadeMiT(embed_dims=b.embed_dims,
-                            num_layers=tuple(b.num_layers),
-                            num_heads=tuple(b.num_heads),
-                            sr_ratios=tuple(b.sr_ratios),
-                            drop_path_rate=b.drop_path_rate),
-        decode_head=SegformerHead(num_classes=h.num_classes,
-                                  channels=h.channels,
-                                  dropout_ratio=h.dropout_ratio))
+    kw = dict(embed_dims=b.embed_dims, num_layers=tuple(b.num_layers),
+              num_heads=tuple(b.num_heads), sr_ratios=tuple(b.sr_ratios),
+              drop_path_rate=b.drop_path_rate)
+    head = SegformerHead(num_classes=h.num_classes, channels=h.channels,
+                         dropout_ratio=h.dropout_ratio)
+    if cfg.model.get("det_guided", False):
+        return DetGuidedEncoderDecoder(backbone=CascadeMiTDetGuided(**kw),
+                                       decode_head=head)
+    return EncoderDecoder(backbone=CascadeMiT(**kw), decode_head=head)
 
 
 def main(argv=None):

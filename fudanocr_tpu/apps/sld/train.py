@@ -93,7 +93,8 @@ def main(argv=None):
 
     codec, rectifier, train_data, test_data = build_codec_and_data(cfg)
     model = OCRTransformer(vocab=codec.num_classes, num_in=3,
-                           layers=(3, 4, 6, 3), num_heads=4)
+                           layers=(3, 4, 6, 3), num_heads=4,
+                           stage1_pool=False)
 
     trainer = CTRTrainer(model, codec, train_data, test_data,
                          batch_size=cfg.batch, lr=cfg.lr,

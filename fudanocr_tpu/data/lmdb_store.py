@@ -50,10 +50,42 @@ def _db_path(path: str) -> str:
     return path
 
 
-class LMDBReader:
-    """Read-only LMDB environment over mmap."""
+_NATIVE = None
 
-    def __init__(self, path: str):
+
+def _load_native():
+    """ctypes handle to native/liblmdb_reader.so (C++ fast path), if built."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    import ctypes
+
+    so = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native",
+        "liblmdb_reader.so")
+    if not os.path.exists(so):
+        _NATIVE = False
+        return None
+    lib = ctypes.CDLL(so)
+    lib.lmdb_open.restype = ctypes.c_void_p
+    lib.lmdb_open.argtypes = [ctypes.c_char_p]
+    lib.lmdb_close.argtypes = [ctypes.c_void_p]
+    lib.lmdb_entries.restype = ctypes.c_uint64
+    lib.lmdb_entries.argtypes = [ctypes.c_void_p]
+    lib.lmdb_get.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.lmdb_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                             ctypes.c_uint32,
+                             ctypes.POINTER(ctypes.c_uint64)]
+    _NATIVE = lib
+    return lib
+
+
+class LMDBReader:
+    """Read-only LMDB environment. Lookups go through the C++ mmap reader
+    (native/lmdb_reader.cpp) when it is built; the pure-Python parser below
+    is the reference implementation, the fallback, and the scan path."""
+
+    def __init__(self, path: str, use_native: bool = True):
         self.path = _db_path(path)
         self._f = open(self.path, "rb")
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
@@ -61,6 +93,15 @@ class LMDBReader:
         meta1 = self._read_meta(1)
         self.meta = meta1 if meta1["txnid"] >= meta0["txnid"] else meta0
         self.main = self.meta["main"]
+        self._native = None
+        self._native_env = None
+        if use_native:
+            lib = _load_native()
+            if lib is not None:
+                env = lib.lmdb_open(self.path.encode())
+                if env:
+                    self._native = lib
+                    self._native_env = env
 
     def _read_meta(self, pgno: int) -> Dict:
         off = pgno * PAGE_SIZE + PAGEHDRSZ
@@ -114,6 +155,18 @@ class LMDBReader:
     # -- lookups -----------------------------------------------------------
 
     def get(self, key: bytes) -> Optional[bytes]:
+        if self._native is not None:
+            import ctypes
+
+            vlen = ctypes.c_uint64(0)
+            ptr = self._native.lmdb_get(self._native_env, key, len(key),
+                                        ctypes.byref(vlen))
+            if not ptr:
+                return None
+            return ctypes.string_at(ptr, vlen.value)
+        return self._get_py(key)
+
+    def _get_py(self, key: bytes) -> Optional[bytes]:
         root = self.main["root"]
         if root == P_INVALID:
             return None
@@ -179,6 +232,9 @@ class LMDBReader:
         return self.main["entries"]
 
     def close(self):
+        if self._native is not None and self._native_env:
+            self._native.lmdb_close(self._native_env)
+            self._native_env = None
         self._mm.close()
         self._f.close()
 

@@ -126,8 +126,8 @@ class ACPM(nn.Module):
 
     def setup(self):
         if self.encoder == "resnet":
-            self._encoder = OCRResNet(3, (3, 4, 6, 3), dtype=self.dtype,
-                                      name="encoder")
+            self._encoder = OCRResNet(3, (3, 4, 6, 3), stage1_pool=False,
+                                      dtype=self.dtype, name="encoder")
         elif self.encoder == "densenet":
             self._encoder = DenseNetEncoder(dtype=self.dtype, name="encoder")
         elif self.encoder == "vgg":

@@ -66,11 +66,15 @@ class BasicBlock(nn.Module):
 
 class OCRResNet(nn.Module):
     """The CTR encoder (loss/transformer.py:82-168): stem + 4 block stages,
-    pooling only at the stem and before stage 1 (16x total 4x downsample),
-    1024-channel output."""
+    1024-channel output. Downsampling varies by project: the SR loss
+    oracle, image-ids-CTR and OI-CTR pool at the stem AND before stage 1
+    (4x total); stroke-level-decomposition and ACPM pool only at the stem
+    (2x) — their layer1_pool is commented out (sld/model/transformer.py
+    forward). `stage1_pool` selects between them."""
 
     num_in: int = 3
     layers: Sequence[int] = (3, 4, 6, 3)
+    stage1_pool: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -83,7 +87,8 @@ class OCRResNet(nn.Module):
         x = max_pool(x, 2)
         x = nn.Conv(128, (3, 3), dtype=self.dtype, name="stem2_conv")(x)
         x = nn.relu(bn("stem2_bn")(x))
-        x = max_pool(x, 2)
+        if self.stage1_pool:
+            x = max_pool(x, 2)
 
         stage_feats = (256, 256, 512, 512)
         in_feats = 128
@@ -146,11 +151,13 @@ class OCRTransformer(nn.Module):
     d_ff: int = 2048
     max_len: int = 7000
     out_dim: Optional[int] = None  # None -> vocab logits
+    stage1_pool: bool = True       # False for SLD/ACPM (2x downsample only)
     dtype: Optional[Dtype] = None
 
     def setup(self):
-        self._encoder = OCRResNet(self.num_in, self.layers, dtype=self.dtype,
-                                  name="encoder")
+        self._encoder = OCRResNet(self.num_in, self.layers,
+                                  stage1_pool=self.stage1_pool,
+                                  dtype=self.dtype, name="encoder")
         self._embed = nn.Embed(self.vocab, self.d_embed, dtype=self.dtype,
                                name="embed")
         self._decoder = OCRDecoderLayer(self.num_heads, self.d_model,

@@ -1,0 +1,214 @@
+"""Det-guided CascadeMiT (the `_V10` variant behind all `*_det` configs).
+
+Rebuild of text-focused-Transformers/mmseg/models/backbones/
+cascade_mit.py:4581-5131: on top of the cascade backbone it adds
+
+* a multi-scale detection head — per-scale 1x1 conv+BN to 8d channels,
+  resized to 1/4 scale, concat -> 1x1 fusion conv+BN -> 2-class det logits;
+* a soft-argmax (softmax(x*beta)·indices) giving a differentiable text map;
+* per-image INSTANCE ids from the text map via contour filling — done on
+  host through `jax.pure_callback` to OpenCV exactly as the reference
+  (cascade_mit.py:4943-4951, which calls cv2 inside the CUDA forward);
+* per-scale additive attention masks from region equality
+  (calculate_mask, cascade_mit.py:4970-4975: pairs in the SAME region get
+  -1e10 — the reference suppresses same-region pairs, reproduced verbatim);
+* parallel text-masked and instance-masked self-attention branches per
+  scale, blended by a learned sigmoid gate (fuse_text_instance_*);
+* the cascade fusion then concatenates [pyramid, upsampled, text_instance].
+
+Returns (pyramid_outs, det_logits); the det logits train against gt_det
+masks with weight det_loss_ratio=0.1 (decode_head.py:244-256).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from fudanocr_tpu.models.seg.cascade_mit import (CascadeStage, ResNetBlock,
+                                                 TransformerEncoderLayer)
+
+Dtype = Any
+
+
+def soft_argmax(logits: jax.Array, beta: float = 1e10) -> jax.Array:
+    """(B, H, W, C) -> (B, H, W) differentiable argmax over C."""
+    p = jax.nn.softmax(logits.astype(jnp.float32) * beta, axis=-1)
+    idx = jnp.arange(logits.shape[-1], dtype=jnp.float32)
+    return jnp.sum(p * idx, axis=-1)
+
+
+def _instance_labels_host(binary: np.ndarray) -> np.ndarray:
+    """Contour-filling instance ids (reference uses cv2.findContours +
+    drawContours with an incrementing counter)."""
+    import cv2
+
+    binary = np.asarray(binary)  # callback may hand a jax array view
+    out = np.zeros_like(binary, dtype=np.float32)
+    for b in range(binary.shape[0]):
+        img = np.ascontiguousarray(binary[b], dtype=np.uint8)
+        contours, _ = cv2.findContours(img, cv2.RETR_TREE,
+                                       cv2.CHAIN_APPROX_SIMPLE)
+        img_copy = img.copy()
+        for i in range(len(contours)):
+            cv2.drawContours(img_copy, contours, i, i + 1, -1)
+        out[b] = img_copy
+    return out
+
+
+def instance_labels(text_map: jax.Array) -> jax.Array:
+    """(B, H, W) float {0,1} -> (B, H, W) instance-id map via host OpenCV."""
+    return jax.pure_callback(
+        _instance_labels_host,
+        jax.ShapeDtypeStruct(text_map.shape, jnp.float32),
+        text_map.astype(jnp.int32),
+        vmap_method="sequential")
+
+
+def region_attn_mask(region: jax.Array, hw: Tuple[int, int],
+                     sr_ratio: int) -> jax.Array:
+    """(B, H0, W0) region ids -> (B, 1, Lq, Lkv) BOOLEAN keep-mask for the
+    efficient attention at resolution `hw` with K/V reduced by sr_ratio.
+
+    Matches calculate_mask: pairs whose region ids are EQUAL are masked
+    out (additive -1e10 in the reference)."""
+    b = region.shape[0]
+    h, w = hw
+    rq = jax.image.resize(region, (b, h, w), "nearest").reshape(b, -1)
+    hk, wk = max(h // sr_ratio, 1), max(w // sr_ratio, 1)
+    rkv = jax.image.resize(region, (b, hk, wk), "nearest").reshape(b, -1)
+    same = rq[:, :, None] == rkv[:, None, :]
+    return ~same[:, None, :, :]
+
+
+class _DetConvBN(nn.Module):
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="conv")(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+
+
+class _GateFuse(nn.Module):
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, text, inst, train=False):
+        w = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                    name="conv")(jnp.concatenate([text, inst], axis=-1))
+        w = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(w)
+        w = jax.nn.sigmoid(w)
+        return w * text + (1 - w) * inst
+
+
+class CascadeMiTDetGuided(nn.Module):
+    embed_dims: int = 32
+    num_layers: Sequence[int] = (2, 2, 2, 2)
+    num_heads: Sequence[int] = (1, 2, 5, 8)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    mlp_ratio: int = 4
+    drop_path_rate: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> Tuple[List[jax.Array], jax.Array]:
+        d = self.embed_dims
+        nh = self.num_heads
+        deterministic = not train
+        dims = [d * h for h in nh]
+
+        # stem + pyramid (shared with the plain CascadeMiT layout)
+        x1 = nn.Conv(d, (7, 7), (4, 4), dtype=self.dtype, name="stem_conv")(x)
+        x1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype, name="stem_bn")(x1)
+        feats = [x1]
+        cur = x1
+        for s in range(3):
+            cur = ResNetBlock(dims[s + 1], 2, dtype=self.dtype,
+                              name=f"layer{s+1}_0")(cur, train)
+            cur = ResNetBlock(dims[s + 1], 1, dtype=self.dtype,
+                              name=f"layer{s+1}_1")(cur, train)
+            feats.append(cur)
+        x1, x2, x3, x4 = feats
+
+        # multi-scale det head at 1/4 scale
+        det_feats = []
+        for i, f in enumerate(feats):
+            y = _DetConvBN(dims[3], dtype=self.dtype,
+                           name=f"out_det_{i+1}")(f, train)
+            if y.shape[1:3] != x1.shape[1:3]:
+                y = jax.image.resize(
+                    y, (y.shape[0], x1.shape[1], x1.shape[2], y.shape[3]),
+                    "bilinear")
+            det_feats.append(y)
+        det_fuse = _DetConvBN(dims[3], dtype=self.dtype, name="fusion_conv")(
+            jnp.concatenate(det_feats, axis=-1), train)
+        det_logits = nn.Conv(2, (1, 1), dtype=self.dtype,
+                             name="det_cls")(det_fuse)
+
+        # masks are non-differentiable in the reference too (the instance
+        # map goes through numpy, the text map through .long())
+        text_map = jax.lax.stop_gradient(soft_argmax(det_logits))
+        inst_map = instance_labels(text_map)
+
+        # per-scale dual masked self-attention + gated fusion
+        fused = []
+        for i, f in enumerate(feats):
+            hw = (f.shape[1], f.shape[2])
+            masks = {
+                "text": region_attn_mask(text_map, hw, self.sr_ratios[i]),
+                "inst": region_attn_mask(inst_map, hw, self.sr_ratios[i]),
+            }
+            branches = {}
+            for kind in ("text", "inst"):
+                y = TransformerEncoderLayer(
+                    nh[i], self.mlp_ratio, self.sr_ratios[i], 0.0,
+                    dtype=self.dtype, name=f"{kind}_sa_{i+1}")(
+                        f, deterministic, masks[kind])
+                y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=self.dtype,
+                                 name=f"{kind}_sa_bn_{i+1}")(y)
+                branches[kind] = y
+            fused.append(_GateFuse(dims[i], dtype=self.dtype,
+                                   name=f"fuse_text_instance_{i+1}")(
+                branches["text"], branches["inst"], train))
+
+        total = sum(self.num_layers)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1)
+               for i in range(total)]
+        offs = [sum(self.num_layers[:i]) for i in range(4)]
+
+        def stage(i, inp):
+            return CascadeStage(
+                dims[i], self.num_layers[i], nh[i], self.sr_ratios[i],
+                self.mlp_ratio,
+                tuple(dpr[offs[i]:offs[i] + self.num_layers[i]]),
+                dtype=self.dtype, name=f"stage{i}")(inp, deterministic)
+
+        def up(t, ref):
+            return jax.image.resize(
+                t, (t.shape[0], ref.shape[1], ref.shape[2], t.shape[3]),
+                "bilinear")
+
+        def fuse(i, parts):
+            cat = jnp.concatenate(parts, axis=-1)
+            return nn.Conv(parts[0].shape[-1], (1, 1), use_bias=False,
+                           dtype=self.dtype, name=f"fuse{i}")(cat)
+
+        # cascade with the text/instance features injected (V10 forward)
+        x4_ = stage(3, fuse(4, [x4, fused[3]]))
+        x3_ = stage(2, fuse(3, [x3, up(x4_, x3), fused[2]]))
+        x2_ = stage(1, fuse(2, [x2, up(x3_, x2), fused[1]]))
+        x1_ = stage(0, fuse(1, [x1, up(x2_, x1), fused[0]]))
+
+        return [x1_, x2_, x3_, x4_], det_logits

@@ -41,6 +41,25 @@ class EncoderDecoder(nn.Module):
         return self.encode_decode(img, train)
 
 
+class DetGuidedEncoderDecoder(nn.Module):
+    """EncoderDecoder_V4 equivalent (encoder_decoder.py:337): the det-guided
+    backbone returns (pyramid, det_logits); forward returns both the seg
+    logits (full res) and the det logits (1/4 res) so the trainer can add
+    `det_loss_ratio x CE(det_logits, gt_det)` (decode_head.py:244-256)."""
+
+    backbone: nn.Module
+    decode_head: nn.Module
+    align_corners: bool = False
+
+    def __call__(self, img: jax.Array, train: bool = False):
+        feats, det_logits = self.backbone(img, train)
+        logits = self.decode_head(feats, train)
+        logits = jax.image.resize(
+            logits, (logits.shape[0], img.shape[1], img.shape[2],
+                     logits.shape[3]), "bilinear")
+        return logits, det_logits
+
+
 def slide_inference(apply_fn, img: jax.Array, crop: Tuple[int, int],
                     stride: Tuple[int, int]) -> jax.Array:
     """Accumulate crop logits over a static grid (encoder_decoder.py:160-207).

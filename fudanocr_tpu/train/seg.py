@@ -68,18 +68,35 @@ def make_seg_optimizer(params, base_lr: float = 6e-5,
         head_labels(params))
 
 
-def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None):
+def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
+                        det_loss_ratio: float = 0.1):
     loss_weights = loss_weights or {"ce": 1.0}
     batch_sharding = NamedSharding(mesh, P("data"))
 
     def step(state: TrainState, img, gt, rng):
         def loss_of(params):
-            logits, mutated = model.apply(
+            out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 img, train=True, mutable=["batch_stats"],
                 rngs={"dropout": rng})
+            det_logits = None
+            if isinstance(out, tuple):  # det-guided variant
+                logits, det_logits = out
+            else:
+                logits = out
             loss = 0.0
             aux = {}
+            if det_logits is not None:
+                # gt_det: the text mask at det resolution (the reference's
+                # gt_det files reduce to this for binary text seg); weight
+                # det_loss_ratio (decode_head.py:244-256, cfg 0.1)
+                b, dh, dw, _ = det_logits.shape
+                det_gt = jax.image.resize(
+                    jnp.where(gt == 255, 0, gt).astype(jnp.float32),
+                    (b, dh, dw), "nearest").astype(jnp.int32)
+                det_gt = jnp.where(det_gt > 0, 1, 0)
+                aux["det"] = cross_entropy_loss(det_logits, det_gt)
+                loss = loss + det_loss_ratio * aux["det"]
             if loss_weights.get("ce"):
                 aux["ce"] = cross_entropy_loss(logits, gt)
                 loss = loss + loss_weights["ce"] * aux["ce"]
@@ -150,14 +167,16 @@ class SegTrainer:
     def evaluate(self, it: int = 0) -> Dict[str, float]:
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
-        apply_fn = jax.jit(lambda img: self.model.apply(variables, img))
+
+        def fwd(img):
+            out = self.model.apply(variables, img)
+            return out[0] if isinstance(out, tuple) else out
 
         def infer(img):
             if self.crop is not None:
-                return slide_inference(
-                    lambda p: self.model.apply(variables, p),
-                    img, self.crop, self.stride or self.crop)
-            return apply_fn(img)
+                return slide_inference(fwd, img, self.crop,
+                                       self.stride or self.crop)
+            return fwd(img)
 
         infer = jax.jit(infer)
         hist = np.zeros((4, self.num_classes), np.float64)

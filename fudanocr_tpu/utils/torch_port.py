@@ -1,0 +1,313 @@
+"""Torch .pth -> fudanocr_tpu checkpoint conversion.
+
+The reference ships pretrained weights as torch pickles (state_dict_G SR
+checkpoints, interfaces/base.py:255-272; bare state_dicts for the CTR
+projects and the frozen loss transformers). These converters map them onto
+our flax param/batch_stats trees so ported checkpoints reproduce the
+reference numerics (layouts: conv OIHW->HWIO, linear W->W^T, GRU/LSTM gate
+blocks transposed, BatchNorm running stats into batch_stats).
+
+Torch is used ONLY here, on the host, to unpickle — never in the compute
+path. Entry point: python -m fudanocr_tpu.utils.torch_port <model> in.pth out_dir
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop DataParallel's 'module.' prefix (interfaces/base.py:183-187)."""
+    return {(k[7:] if k.startswith("module.") else k): v
+            for k, v in sd.items()}
+
+
+def conv(sd, name):
+    out = {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def linear(sd, name):
+    out = {"kernel": _np(sd[f"{name}.weight"]).T}
+    if f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def bn(sd, name) -> Tuple[Dict, Dict]:
+    params = {"scale": _np(sd[f"{name}.weight"]),
+              "bias": _np(sd[f"{name}.bias"])}
+    stats = {"mean": _np(sd[f"{name}.running_mean"]),
+             "var": _np(sd[f"{name}.running_var"])}
+    return params, stats
+
+
+def torch_layernorm(sd, name):
+    # the reference LayerNorm params are (a_2, b_2) in the SR projects and
+    # (a, b) in stroke-level-decomposition (transformer.py:247-248)
+    if f"{name}.a_2" in sd:
+        return {"scale": _np(sd[f"{name}.a_2"]),
+                "bias": _np(sd[f"{name}.b_2"])}
+    return {"scale": _np(sd[f"{name}.a"]), "bias": _np(sd[f"{name}.b"])}
+
+
+def embedding(sd, name):
+    return {"embedding": _np(sd[f"{name}.weight"])}
+
+
+def birnn(sd, name):
+    """torch bidirectional GRU/LSTM -> our BiGRU/BiLSTM param dict."""
+    out = {}
+    for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
+        out[f"wi_{direction}"] = _np(sd[f"{name}.weight_ih_l0{suffix}"]).T
+        out[f"wh_{direction}"] = _np(sd[f"{name}.weight_hh_l0{suffix}"]).T
+        out[f"bi_{direction}"] = _np(sd[f"{name}.bias_ih_l0{suffix}"])
+        out[f"bh_{direction}"] = _np(sd[f"{name}.bias_hh_l0{suffix}"])
+    return out
+
+
+def _mha(sd, prefix):
+    """reference MultiHeadedAttention.linears[0..3] -> our q/k/v/out."""
+    return {"q": linear(sd, f"{prefix}.linears.0"),
+            "k": linear(sd, f"{prefix}.linears.1"),
+            "v": linear(sd, f"{prefix}.linears.2"),
+            "out": linear(sd, f"{prefix}.linears.3")}
+
+
+def _stn_head(sd, prefix="stn_head"):
+    """stn_head.py:25-53 -> our STNHead tree."""
+    params, stats = {}, {}
+    # stn_convnet indices of the conv blocks: 0,2,4,6,8,10 (pools between)
+    for i, seq in enumerate((0, 2, 4, 6, 8, 10)):
+        cname = f"{prefix}.stn_convnet.{seq}"
+        p, s = bn(sd, f"{cname}.1")
+        params[f"conv{i}"] = {"Conv_0": conv(sd, f"{cname}.0"),
+                              "BatchNorm_0": p}
+        stats[f"conv{i}"] = {"BatchNorm_0": s}
+    params["fc1"] = linear(sd, f"{prefix}.stn_fc1.0")
+    p, s = bn(sd, f"{prefix}.stn_fc1.1")
+    params["fc1_bn"] = p
+    stats["fc1_bn"] = s
+    params["fc2"] = linear(sd, f"{prefix}.stn_fc2")
+    return params, stats
+
+
+def _feature_enhancer(sd, prefix):
+    return {
+        "mha": _mha(sd, f"{prefix}.multihead"),
+        "ln1": torch_layernorm(sd, f"{prefix}.mul_layernorm1"),
+        "pff_w1": linear(sd, f"{prefix}.pff.w_1"),
+        "pff_w2": linear(sd, f"{prefix}.pff.w_2"),
+        "ln2": torch_layernorm(sd, f"{prefix}.mul_layernorm3"),
+        "proj": linear(sd, f"{prefix}.linear"),
+    }
+
+
+def port_tbsrn(sd: Dict, srb_nums: int = 5, scale_factor: int = 2,
+               stn: bool = True) -> Dict:
+    """scene-text-telescope/model/tbsrn.py:166-226 -> TBSRN variables."""
+    sd = strip_module_prefix(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["stem_conv"] = conv(sd, "block1.0")
+    params["stem_prelu"] = {"alpha": _np(sd["block1.1.weight"]).reshape(1)}
+
+    for i in range(srb_nums):
+        b = f"block{i + 2}"
+        p, s = bn(sd, f"{b}.bn1")
+        p2, s2 = bn(sd, f"{b}.bn2")
+        params[f"srb{i}"] = {
+            "conv1": conv(sd, f"{b}.conv1"), "bn1": p,
+            "conv2": conv(sd, f"{b}.conv2"), "bn2": p2,
+            "enhancer": _feature_enhancer(sd, f"{b}.feature_enhancer"),
+        }
+        stats[f"srb{i}"] = {"bn1": s, "bn2": s2}
+
+    tail = f"block{srb_nums + 2}"
+    p, s = bn(sd, f"{tail}.1")
+    params["trunk_tail"] = {"conv": conv(sd, f"{tail}.0"), "bn": p}
+    stats["trunk_tail"] = {"bn": s}
+
+    import math
+    n_up = int(math.log2(scale_factor))
+    last = f"block{srb_nums + 3}"
+    for u in range(n_up):
+        params[f"up{u}"] = {"conv": conv(sd, f"{last}.{u}.conv")}
+    params["out_conv"] = conv(sd, f"{last}.{n_up}")
+
+    if stn and "stn_head.stn_fc2.weight" in sd:
+        p, s = _stn_head(sd)
+        params["stn_head"] = p
+        stats["stn_head"] = s
+    return {"params": params, "batch_stats": stats}
+
+
+def port_tsrn(sd: Dict, srb_nums: int = 5, scale_factor: int = 2,
+              stn: bool = False) -> Dict:
+    """tsrn.py:18-98 -> TSRN variables (GRU blocks instead of enhancer)."""
+    sd = strip_module_prefix(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["stem_conv"] = conv(sd, "block1.0")
+    params["stem_prelu"] = {"alpha": _np(sd["block1.1.weight"]).reshape(1)}
+    for i in range(srb_nums):
+        b = f"block{i + 2}"
+        p, s = bn(sd, f"{b}.bn1")
+        p2, s2 = bn(sd, f"{b}.bn2")
+        params[f"srb{i}"] = {
+            "conv1": conv(sd, f"{b}.conv1"), "bn1": p,
+            "conv2": conv(sd, f"{b}.conv2"), "bn2": p2,
+            "gru1": {"conv1": conv(sd, f"{b}.gru1.conv1"),
+                     "gru": birnn(sd, f"{b}.gru1.gru")},
+            "gru2": {"conv1": conv(sd, f"{b}.gru2.conv1"),
+                     "gru": birnn(sd, f"{b}.gru2.gru")},
+        }
+        stats[f"srb{i}"] = {"bn1": s, "bn2": s2}
+    tail = f"block{srb_nums + 2}"
+    p, s = bn(sd, f"{tail}.1")
+    params["trunk_tail"] = {"conv": conv(sd, f"{tail}.0"), "bn": p}
+    stats["trunk_tail"] = {"bn": s}
+    import math
+    n_up = int(math.log2(scale_factor))
+    last = f"block{srb_nums + 3}"
+    for u in range(n_up):
+        params[f"up{u}"] = {"conv": conv(sd, f"{last}.{u}.conv")}
+    params["out_conv"] = conv(sd, f"{last}.{n_up}")
+    if stn and "stn_head.stn_fc2.weight" in sd:
+        p, s = _stn_head(sd)
+        params["stn_head"] = p
+        stats["stn_head"] = s
+    return {"params": params, "batch_stats": stats}
+
+
+def port_crnn(sd: Dict) -> Dict:
+    """model/crnn/crnn.py:25-80 -> CRNN variables."""
+    sd = strip_module_prefix(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(7):
+        params[f"conv{i}"] = conv(sd, f"cnn.conv{i}")
+        if f"cnn.batchnorm{i}.weight" in sd:
+            p, s = bn(sd, f"cnn.batchnorm{i}")
+            params[f"bn{i}"] = p
+            stats[f"bn{i}"] = s
+    params["rnn0"] = birnn(sd, "rnn.0.rnn")
+    params["fc0"] = linear(sd, "rnn.0.embedding")
+    params["rnn1"] = birnn(sd, "rnn.1.rnn")
+    params["fc1"] = linear(sd, "rnn.1.embedding")
+    return {"params": params, "batch_stats": stats}
+
+
+def _ocr_resnet(sd: Dict, prefix: str, layers) -> Tuple[Dict, Dict]:
+    """loss/transformer.py:82-168 ResNet -> OCRResNet tree."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def grab_bn(tname, oname):
+        p, s = bn(sd, tname)
+        params[oname] = p
+        stats[oname] = s
+
+    params["stem1_conv"] = conv(sd, f"{prefix}conv1")
+    grab_bn(f"{prefix}bn1", "stem1_bn")
+    params["stem2_conv"] = conv(sd, f"{prefix}conv2")
+    grab_bn(f"{prefix}bn2", "stem2_bn")
+
+    stage_feats = (256, 256, 512, 512)
+    in_feats = 128
+    for s_i, n_blocks in enumerate(layers):
+        tl = f"{prefix}layer{s_i + 1}"
+        for b_i in range(n_blocks):
+            blk: Dict[str, Any] = {"conv1": conv(sd, f"{tl}.{b_i}.conv1"),
+                                   "conv2": conv(sd, f"{tl}.{b_i}.conv2")}
+            bs: Dict[str, Any] = {}
+            for which in ("bn1", "bn2"):
+                p, st = bn(sd, f"{tl}.{b_i}.{which}")
+                blk[which] = p
+                bs[which] = st
+            if b_i == 0 and in_feats != stage_feats[s_i]:
+                blk["down_conv"] = conv(sd, f"{tl}.{b_i}.downsample.0")
+                p, st = bn(sd, f"{tl}.{b_i}.downsample.1")
+                blk["down_bn"] = p
+                bs["down_bn"] = st
+            params[f"stage{s_i}_block{b_i}"] = blk
+            stats[f"stage{s_i}_block{b_i}"] = bs
+        in_feats = stage_feats[s_i]
+        if s_i < 3:
+            params[f"stage{s_i}_conv"] = conv(sd, f"{tl}_conv")
+            grab_bn(f"{tl}_bn", f"stage{s_i}_bn")
+    params["head_conv"] = conv(sd, f"{prefix}layer4_conv2")
+    grab_bn(f"{prefix}layer4_conv2_bn", "head_bn")
+    return params, stats
+
+
+def port_ocr_transformer(sd: Dict, layers=(3, 4, 6, 3),
+                         encoder_prefix: str = "encoder.") -> Dict:
+    """Shared CTR / loss-oracle transformer -> OCRTransformer variables.
+
+    Handles both the SR loss oracle (encoder.cnn. prefix, layers [1,2,5,3])
+    and the CTR projects (encoder. prefix, layers [3,4,6,3])."""
+    sd = strip_module_prefix(sd)
+    if any(k.startswith("encoder.cnn.") for k in sd):
+        encoder_prefix = "encoder.cnn."
+    enc_params, enc_stats = _ocr_resnet(sd, encoder_prefix, layers)
+    params = {
+        "encoder": enc_params,
+        "embed": embedding(sd, "embedding_word.lut"),
+        "decoder": {
+            "self_attn": _mha(sd, "decoder.mask_multihead"),
+            "ln1": torch_layernorm(sd, "decoder.mul_layernorm1"),
+            "cross_attn": _mha(sd, "decoder.multihead"),
+            "ln2": torch_layernorm(sd, "decoder.mul_layernorm2"),
+            "pff_w1": linear(sd, "decoder.pff.w_1"),
+            "pff_w2": linear(sd, "decoder.pff.w_2"),
+            "ln3": torch_layernorm(sd, "decoder.mul_layernorm3"),
+        },
+        "generator": linear(sd, "generator_word.proj"),
+    }
+    return {"params": params, "batch_stats": {"encoder": enc_stats}}
+
+
+PORTERS = {
+    "tbsrn": port_tbsrn,
+    "tsrn": port_tsrn,
+    "crnn": port_crnn,
+    "ocr_transformer": port_ocr_transformer,
+}
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="convert a reference torch .pth to a fudanocr_tpu "
+                    "checkpoint directory")
+    p.add_argument("model", choices=sorted(PORTERS))
+    p.add_argument("pth")
+    p.add_argument("out_dir")
+    args = p.parse_args(argv)
+
+    import torch
+
+    from fudanocr_tpu.core import checkpoint as ckpt_lib
+
+    sd = torch.load(args.pth, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict_G" in sd:
+        sd = sd["state_dict_G"]  # SR checkpoints (interfaces/base.py:260)
+    tree = PORTERS[args.model](sd)
+    ckpt_lib.save(args.out_dir, tree, meta={"source": args.pth,
+                                            "model": args.model})
+    print(f"wrote {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -75,3 +75,31 @@ def test_textzoom_dataset_roundtrip():
         hr_b, lr_b, labels = next(ds.batches(4))
         assert hr_b.shape == (4, 16, 64, 3) and lr_b.shape == (4, 8, 32, 3)
         assert labels[0] == syn.labels[0]
+
+
+def test_native_reader_agrees_with_python():
+    """C++ reader (if built) returns byte-identical values to the Python
+    parser, including overflow values."""
+    from fudanocr_tpu.data.lmdb_store import _load_native
+
+    if _load_native() is None:
+        pytest.skip("native lmdb reader not built")
+
+    rng = np.random.default_rng(42)
+    data = {b"k%05d" % i: bytes(rng.integers(0, 256, int(rng.integers(1, 80)),
+                                             dtype=np.uint8))
+            for i in range(300)}
+    data[b"zbig"] = bytes(rng.integers(0, 256, PAGE_SIZE * 2 + 5,
+                                       dtype=np.uint8))
+    with tempfile.TemporaryDirectory() as tmp:
+        w = LMDBWriter(os.path.join(tmp, "db"))
+        w.update(data)
+        w.write()
+        nat = LMDBReader(os.path.join(tmp, "db"), use_native=True)
+        py = LMDBReader(os.path.join(tmp, "db"), use_native=False)
+        assert nat._native is not None, "native path did not engage"
+        for k, v in data.items():
+            assert nat.get(k) == v == py.get(k)
+        assert nat.get(b"nope") is None
+        assert int(nat._native.lmdb_entries(nat._native_env)) == len(data)
+        nat.close(); py.close()

@@ -1,0 +1,136 @@
+"""Checkpoint-port parity: reference torch models (random init) -> our
+models via utils/torch_port, comparing full forward outputs.
+
+The reference code hardcodes .cuda() calls (e.g. tbsrn.py:83), so the
+fixture shims Tensor.cuda/Module.cuda to identity for CPU execution.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_STT = "/root/reference/scene-text-telescope"
+REF_SLD = "/root/reference/stroke-level-decomposition"
+
+torch = pytest.importorskip("torch")
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _cpu_cuda_shim(monkeypatch):
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    monkeypatch.setattr(torch.nn.Module, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+
+def _import_ref(root, module):
+    sys.path.insert(0, root)
+    try:
+        import importlib
+        for m in list(sys.modules):
+            if m == module or m.startswith("model"):
+                sys.modules.pop(m, None)
+        return importlib.import_module(module)
+    finally:
+        sys.path.pop(0)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_STT), reason="reference absent")
+def test_tbsrn_port_parity():
+    from fudanocr_tpu.models.sr import TBSRN
+    from fudanocr_tpu.utils.torch_port import port_tbsrn
+
+    mod = _import_ref(REF_STT, "model.tbsrn")
+    torch.manual_seed(0)
+    # hidden_units must be 32: the reference hardcodes the FeatureEnhancer
+    # to 128-d tokens (64 trunk + 64 PE, tbsrn.py:68,83)
+    ref = mod.TBSRN(scale_factor=2, width=128, height=32, STN=True,
+                    srb_nums=2, hidden_units=32).eval()
+    variables = port_tbsrn(ref.state_dict(), srb_nums=2)
+
+    x = np.random.default_rng(0).random((1, 16, 64, 3)).astype(np.float32)
+    ours = TBSRN(scale_factor=2, width=128, height=32, stn=True, srb_nums=2,
+                 hidden_units=32)
+    got = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_STT), reason="reference absent")
+def test_tsrn_port_parity():
+    from fudanocr_tpu.models.sr import TSRN
+    from fudanocr_tpu.utils.torch_port import port_tsrn
+
+    mod = _import_ref(REF_STT, "model.tsrn")
+    torch.manual_seed(1)
+    ref = mod.TSRN(scale_factor=2, width=128, height=32, STN=False,
+                   srb_nums=2, hidden_units=16).eval()
+    variables = port_tsrn(ref.state_dict(), srb_nums=2, stn=False)
+
+    x = np.random.default_rng(1).random((2, 16, 64, 3)).astype(np.float32)
+    ours = TSRN(scale_factor=2, width=128, height=32, stn=False, srb_nums=2,
+                hidden_units=16)
+    got = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SLD), reason="reference absent")
+def test_sld_transformer_port_parity():
+    """The shared CTR core vs stroke-level-decomposition's Transformer."""
+    from fudanocr_tpu.models.rec.ocr_transformer import OCRTransformer
+    from fudanocr_tpu.utils.torch_port import port_ocr_transformer
+
+    # the reference chain (model.transformer -> util -> data.lmdbReader)
+    # imports torchvision/lmdb (absent here) and opens ./data files; stub
+    # the modules and chdir into the reference project
+    import types
+    for name in ("torchvision", "torchvision.models",
+                 "torchvision.transforms", "lmdb"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+
+    cwd = os.getcwd()
+    sys.path.insert(0, REF_SLD)
+    os.chdir(REF_SLD)
+    try:
+        for m in list(sys.modules):
+            if m.startswith("model") or m.startswith("data") \
+                    or m in ("util", "config"):
+                sys.modules.pop(m, None)
+        import importlib
+        mod = importlib.import_module("model.transformer")
+    finally:
+        os.chdir(cwd)
+        sys.path.pop(0)
+
+    torch.manual_seed(2)
+    ref = mod.Transformer("stroke").eval()
+    sd = ref.state_dict()
+    vocab = ref.word_n_class
+
+    variables = port_ocr_transformer(sd, layers=(3, 4, 6, 3))
+    # SLD's ResNet pools only at the stem (its layer1_pool is commented out)
+    ours = OCRTransformer(vocab=vocab, num_in=3, layers=(3, 4, 6, 3),
+                          num_heads=4, stage1_pool=False)
+
+    rng = np.random.default_rng(2)
+    img = rng.random((2, 32, 32, 3)).astype(np.float32)
+    text = rng.integers(0, vocab, (2, 5)).astype(np.int64)
+    length = torch.tensor([5, 5])
+
+    out = ours.apply(variables, jnp.asarray(img),
+                     jnp.asarray(text.astype(np.int32)))
+    got = np.asarray(out["pred"])
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)), length,
+                   torch.from_numpy(text), test=True)["pred"].numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
