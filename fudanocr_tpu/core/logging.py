@@ -1,0 +1,125 @@
+"""Observability: scalar/image logging, experiment bookkeeping, profiling.
+
+Replaces the reference's three logging paths — python logging + TensorBoard
+SummaryWriter (interfaces/base.py:73-87, super_resolution.py:74-77), plain
+print + result files (sld/train.py:158-171), and mmcv TextLogger — with one
+`MetricsLogger` that writes JSONL (always) and TensorBoard events (when the
+`tensorboard` package is present). `Saver` reproduces the source-snapshot
+bookkeeping (sld/util.py:144-173); `profile_trace` wraps jax.profiler for
+the tracing story the reference lacks (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import logging
+import os
+import shutil
+import time
+from typing import Dict, Optional
+
+log = logging.getLogger("fudanocr_tpu")
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: str, tensorboard: bool = True):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        if tensorboard:
+            try:
+                from tensorboard.summary.writer.event_file_writer import (
+                    EventFileWriter)
+                from tensorboard.compat.proto.summary_pb2 import Summary
+                from tensorboard.compat.proto.event_pb2 import Event
+
+                self._tb = EventFileWriter(log_dir)
+                self._Summary = Summary
+                self._Event = Event
+            except Exception:  # pragma: no cover
+                self._tb = None
+
+    def scalar(self, tag: str, value: float, step: int):
+        self._jsonl.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step),
+             "time": time.time()}) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            s = self._Summary(
+                value=[self._Summary.Value(tag=tag,
+                                           simple_value=float(value))])
+            self._tb.add_event(self._Event(summary=s, step=int(step),
+                                           wall_time=time.time()))
+
+    def scalars(self, metrics: Dict[str, float], step: int,
+                prefix: str = ""):
+        for k, v in metrics.items():
+            try:
+                self.scalar(prefix + k, float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+class Saver:
+    """Experiment bookkeeping: snapshot the exact entry-point sources into
+    the run dir (sld/util.py:144-173 `saver()`)."""
+
+    def __init__(self, history_dir: str, exp_name: str):
+        self.run_dir = os.path.join(history_dir, exp_name)
+
+    def snapshot(self, *source_files: str):
+        os.makedirs(self.run_dir, exist_ok=True)
+        stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
+        open(os.path.join(self.run_dir, stamp), "w").close()
+        for src in source_files:
+            if os.path.exists(src):
+                shutil.copyfile(src, os.path.join(self.run_dir,
+                                                  os.path.basename(src)))
+        return self.run_dir
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str, enabled: bool = True):
+    """jax.profiler trace for a code region (view with TensorBoard or
+    Perfetto). Usage: `with profile_trace('/tmp/trace'): step(...)`."""
+    if not enabled:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """images/sec measurement with jax.block_until_ready, the TPU
+    equivalent of the reference's fps probe (super_resolution.py:324-328)."""
+
+    def __init__(self):
+        self.t0 = None
+        self.images = 0
+
+    def start(self):
+        self.t0 = time.perf_counter()
+        self.images = 0
+
+    def step(self, batch_size: int):
+        self.images += batch_size
+
+    def stop(self, result=None) -> float:
+        if result is not None:
+            import jax
+
+            jax.block_until_ready(result)
+        dt = time.perf_counter() - self.t0
+        return self.images / dt if dt > 0 else 0.0

@@ -18,6 +18,35 @@ from PIL import Image, ImageDraw
 from fudanocr_tpu.data.lmdb_store import LMDBReader
 
 
+def str_q2b(s: str) -> str:
+    """Full-width -> half-width normalisation (image-ids-CTR lmdbReader's
+    strQ2B): ideographic space U+3000 -> space, FF01-FF5E -> ASCII."""
+    out = []
+    for ch in s:
+        code = ord(ch)
+        if code == 0x3000:
+            code = 32
+        elif 0xFF01 <= code <= 0xFF5E:
+            code -= 0xFEE0
+        out.append(chr(code))
+    return "".join(out)
+
+
+def random_sequential_order(n: int, batch_size: int, seed: int = 0):
+    """randomSequentialSampler (dataset.py:205-228): each batch is a random
+    CONTIGUOUS run of indices — sequential LMDB reads with random starts."""
+    rng = random.Random(seed)
+    order = []
+    n_batch, tail = divmod(n, batch_size)
+    for _ in range(n_batch):
+        start = rng.randint(0, n - batch_size)
+        order.extend(range(start, start + batch_size))
+    if tail:
+        start = rng.randint(0, n - batch_size)
+        order.extend(range(start, start + tail))
+    return order
+
+
 class RecLMDBDataset:
     def __init__(self, roots, image_size: Tuple[int, int] = (32, 32),
                  alphabet: Optional[str] = None):

@@ -9,7 +9,7 @@ TPU, so test images are padded to a bucket first (data/seg_dataset.py).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,31 @@ class EncoderDecoder(nn.Module):
         return self.encode_decode(img, train)
 
 
+class CascadeEncoderDecoder(nn.Module):
+    """Multi-stage decode heads, each refining the previous prediction
+    (mmseg/models/segmentors/cascade_encoder_decoder.py:12-98): head k>0
+    receives the backbone features plus the previous stage's logits
+    (resized to the 1/4 scale) as an extra input channel block."""
+
+    backbone: nn.Module
+    decode_heads: Sequence[nn.Module]
+    align_corners: bool = False
+
+    def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
+        feats = self.backbone(img, train)
+        logits = self.decode_heads[0](feats, train)
+        for head in self.decode_heads[1:]:
+            prev = jax.image.resize(
+                logits, (logits.shape[0], feats[0].shape[1],
+                         feats[0].shape[2], logits.shape[3]), "bilinear")
+            feats_aug = [jnp.concatenate([feats[0], prev], axis=-1)] \
+                + list(feats[1:])
+            logits = head(feats_aug, train)
+        return jax.image.resize(
+            logits, (logits.shape[0], img.shape[1], img.shape[2],
+                     logits.shape[3]), "bilinear")
+
+
 class DetGuidedEncoderDecoder(nn.Module):
     """EncoderDecoder_V4 equivalent (encoder_decoder.py:337): the det-guided
     backbone returns (pyramid, det_logits); forward returns both the seg
@@ -60,6 +85,32 @@ class DetGuidedEncoderDecoder(nn.Module):
         return logits, det_logits
 
 
+def tta_inference(apply_fn, img: jax.Array,
+                  scales: Sequence[float] = (1.0,),
+                  flip: bool = True) -> jax.Array:
+    """MultiScaleFlipAug equivalent (pipelines/test_time_aug.py): run the
+    model at each scale (+ horizontal flip), resize logits back and average
+    the softmax probabilities. Returns full-res averaged probs."""
+    b, h, w, _ = img.shape
+    acc = None
+    n = 0
+    for s in scales:
+        variants = [img if s == 1.0 else jax.image.resize(
+            img, (b, int(h * s), int(w * s), img.shape[3]), "bilinear")]
+        if flip:
+            variants.append(variants[0][:, :, ::-1, :])
+        for vi, v in enumerate(variants):
+            logits = apply_fn(v)
+            if vi == 1:
+                logits = logits[:, :, ::-1, :]
+            logits = jax.image.resize(
+                logits, (b, h, w, logits.shape[3]), "bilinear")
+            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            acc = p if acc is None else acc + p
+            n += 1
+    return acc / n
+
+
 def slide_inference(apply_fn, img: jax.Array, crop: Tuple[int, int],
                     stride: Tuple[int, int]) -> jax.Array:
     """Accumulate crop logits over a static grid (encoder_decoder.py:160-207).
@@ -71,6 +122,7 @@ def slide_inference(apply_fn, img: jax.Array, crop: Tuple[int, int],
     b, h, w, _ = img.shape
     ch, cw = crop
     sh, sw = stride
+    ch, cw = min(ch, h), min(cw, w)
     h_grids = max((h - ch + sh - 1) // sh, 0) + 1
     w_grids = max((w - cw + sw - 1) // sw, 0) + 1
 

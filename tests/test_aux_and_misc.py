@@ -1,0 +1,95 @@
+"""Aux losses, TTA, necks, cascade segmentor, codecs misc, logging."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_aux_losses_basic():
+    from fudanocr_tpu.losses.aux_losses import (gradient_prior_loss,
+                                                total_variation_loss,
+                                                gan_discriminator_loss,
+                                                gan_generator_loss)
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)
+    assert float(gradient_prior_loss(a, a)) < 1e-6
+    b = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)
+    assert float(gradient_prior_loss(a, b)) > 0
+    flat = jnp.ones((1, 8, 8, 3))
+    assert float(total_variation_loss(flat)) < 1e-9
+    assert float(total_variation_loss(a)) > 0
+    # perfect discriminator -> low d loss, high g loss
+    real, fake = jnp.full((4,), 10.0), jnp.full((4,), -10.0)
+    assert float(gan_discriminator_loss(real, fake)) < 1e-3
+    assert float(gan_generator_loss(fake)) > 5
+
+
+def test_tta_flip_consistency():
+    from fudanocr_tpu.models.seg.encoder_decoder import tta_inference
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((1, 8, 8, 3)), jnp.float32)
+
+    def fwd(x):  # translation-equivariant pseudo-logits
+        return jnp.stack([x[..., 0], 1 - x[..., 0]], axis=-1) * 4.0
+
+    base = jax.nn.softmax(fwd(img), axis=-1)
+    out = tta_inference(fwd, img, scales=(1.0,), flip=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fpn_and_cascade_segmentor():
+    from fudanocr_tpu.models.seg.necks import FPN
+    from fudanocr_tpu.models.seg import CascadeMiT, SegformerHead
+    from fudanocr_tpu.models.seg.encoder_decoder import CascadeEncoderDecoder
+
+    feats = [jnp.zeros((1, 16, 16, 8)), jnp.zeros((1, 8, 8, 16)),
+             jnp.zeros((1, 4, 4, 40)), jnp.zeros((1, 2, 2, 64))]
+    neck = FPN(out_channels=32)
+    vs = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(vs, feats)
+    assert [o.shape[-1] for o in outs] == [32] * 4
+    assert outs[0].shape[1:3] == (16, 16)
+
+    seg = CascadeEncoderDecoder(
+        backbone=CascadeMiT(embed_dims=8, num_layers=(1, 1, 1, 1)),
+        decode_heads=(SegformerHead(num_classes=2, channels=16),
+                      SegformerHead(num_classes=2, channels=16)))
+    x = jnp.zeros((1, 32, 32, 3))
+    vs = seg.init(jax.random.PRNGKey(1), x)
+    y = seg.apply(vs, x)
+    assert y.shape == (1, 32, 32, 2)
+
+
+def test_strq2b_and_random_sequential():
+    from fudanocr_tpu.data.rec_dataset import str_q2b, random_sequential_order
+
+    assert str_q2b("Ａ　ａ") == "A a"
+    order = random_sequential_order(100, 8, seed=3)
+    assert len(order) == 100
+    # each full batch is a contiguous run
+    for s in range(0, 96, 8):
+        run = order[s:s + 8]
+        assert run == list(range(run[0], run[0] + 8))
+
+
+def test_metrics_logger_and_saver():
+    from fudanocr_tpu.core.logging import MetricsLogger, Saver
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ml = MetricsLogger(tmp, tensorboard=True)
+        ml.scalar("loss", 1.5, 1)
+        ml.scalars({"a": 1, "b": 2}, 2, prefix="eval/")
+        ml.close()
+        lines = open(os.path.join(tmp, "metrics.jsonl")).readlines()
+        assert len(lines) == 3
+
+        sv = Saver(tmp, "exp1")
+        run_dir = sv.snapshot(__file__)
+        assert os.path.exists(os.path.join(
+            run_dir, os.path.basename(__file__)))
