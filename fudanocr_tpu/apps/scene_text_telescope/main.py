@@ -73,9 +73,12 @@ def main(argv=None):
         rec_variables=rec_variables, converter=converter,
         seed=cfg.TRAIN.manualSeed)
 
-    if args.test or args.demo:
-        res = trainer.evaluate(0)
-        print(res)
+    if args.demo:
+        out = trainer.demo(cfg.TRAIN.VAL.vis_dir, n_vis=cfg.TRAIN.VAL.n_vis)
+        print(f"wrote demo strips to {out}")
+        print(trainer.evaluate(0))
+    elif args.test:
+        print(trainer.evaluate(0))
     else:
         trainer.train()
         print(trainer.evaluate(-1))

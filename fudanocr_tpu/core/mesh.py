@@ -80,3 +80,25 @@ def replicate_tree(mesh: Mesh, tree):
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     """Per-host batch when running multi-process (jax.distributed)."""
     return global_batch // jax.process_count()
+
+
+def setup_distributed(coordinator_address: Optional[str] = None,
+                      num_processes: Optional[int] = None,
+                      process_id: Optional[int] = None) -> int:
+    """Multi-host initialisation (replaces init_dist/NCCL process groups,
+    text-focused-Transformers/tools/train.py:150-159). On a single host
+    this is a no-op. Returns the process index."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index()
+
+
+def host_shard_indices(n: int, batch_size: int) -> range:
+    """Per-host index striping over a dataset of size n — the
+    DistributedSampler equivalent (mmseg/datasets/samplers/
+    distributed_sampler.py:13-48): process k reads every
+    process_count-th batch."""
+    pc, pi = jax.process_count(), jax.process_index()
+    return range(pi * batch_size, n, pc * batch_size)

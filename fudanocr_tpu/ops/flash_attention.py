@@ -78,6 +78,42 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
+def _full_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, g):
+    """Full-K attention for G (batch*head) pairs per program — no online
+    softmax needed when the whole K/V row fits VMEM; looping G pairs in one
+    program amortizes per-program dispatch/DMA overhead (the dominant cost
+    at TBSRN's dk=32 shape)."""
+    for i in range(g):
+        q = q_ref[i]
+        s = jax.lax.dot_general(
+            q, k_ref[i], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[i] = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "group"))
+def _mha_full(q3, k3, v3, scale: float, group: int):
+    bh, lq, d = q3.shape
+    lk = k3.shape[1]
+    return pl.pallas_call(
+        functools.partial(_full_kernel, scale=scale, g=group),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q3.dtype),
+        grid=(bh // group,),
+        in_specs=[
+            pl.BlockSpec((group, lq, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, lk, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, lk, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, lq, d), lambda i: (i, 0, 0)),
+        interpret=jax.default_backend() == "cpu",
+    )(q3, k3, v3)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
               block_q: int = _BQ, block_k: int = _BK) -> jax.Array:
@@ -85,6 +121,18 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
     interpret = jax.default_backend() == "cpu"  # tests run on CPU
     b, h, lq, d = q.shape
     lk = k.shape[2]
+
+    # small-sequence fast path: whole rows fit VMEM; group BH pairs per
+    # program (see _full_kernel)
+    if lk <= 1024 and lq <= 1024 and d <= 64:
+        bh = b * h
+        for group in (4, 2, 1):
+            if bh % group == 0:
+                break
+        out = _mha_full(q.reshape(bh, lq, d), k.reshape(bh, lk, d),
+                        v.reshape(bh, lk, d), 1.0 / math.sqrt(d), group)
+        return out.reshape(b, h, lq, d)
+
     block_q = min(block_q, lq)
     block_k = min(block_k, lk)
     scale = 1.0 / math.sqrt(d)

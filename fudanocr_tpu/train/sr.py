@@ -156,6 +156,36 @@ class SRTrainer:
                     self.evaluate(it)
         return self.state
 
+    def demo(self, out_dir: str, n_vis: int = 10):
+        """Write LR|SR|HR comparison strips to `out_dir` (the reference's
+        --demo / vis_dir image dumps, super_resolution.py:331-425)."""
+        import os
+
+        from PIL import Image
+
+        os.makedirs(out_dir, exist_ok=True)
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        written = 0
+        for hr, lr, labels in self._batches(self.eval_data):
+            out = self.eval_step(variables, jnp.asarray(lr), jnp.asarray(hr),
+                                 self.rec_variables)
+            sr = np.clip(np.asarray(out["sr"], np.float32), 0, 1)
+            for i in range(sr.shape[0]):
+                if written >= n_vis:
+                    return out_dir
+                h, w = hr.shape[1], hr.shape[2]
+                lr_up = np.asarray(Image.fromarray(
+                    (lr[i, ..., :3] * 255).astype(np.uint8)).resize(
+                        (w, h), Image.BICUBIC), np.float32) / 255.0
+                strip = np.concatenate(
+                    [lr_up, sr[i, ..., :3], hr[i, ..., :3]], axis=1)
+                Image.fromarray((strip * 255).astype(np.uint8)).save(
+                    os.path.join(out_dir,
+                                 f"{written:03d}_{labels[i]}.png"))
+                written += 1
+        return out_dir
+
     def evaluate(self, it: int = 0) -> Dict[str, float]:
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
