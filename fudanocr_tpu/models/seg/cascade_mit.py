@@ -168,6 +168,7 @@ class CascadeStage(nn.Module):
     sr_ratio: int
     mlp_ratio: int = 4
     drop_path_rates: Sequence[float] = ()
+    with_cp: bool = False  # rematerialize layers (the reference's with_cp)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -176,10 +177,13 @@ class CascadeStage(nn.Module):
         x = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype,
                     name="patch_embed")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="patch_norm")(x)
+        layer_cls = (nn.remat(TransformerEncoderLayer,
+                              static_argnums=(2,))
+                     if self.with_cp else TransformerEncoderLayer)
         for i in range(self.num_layers):
             dpr = (self.drop_path_rates[i]
                    if i < len(self.drop_path_rates) else 0.0)
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.num_heads, self.mlp_ratio, self.sr_ratio, dpr,
                 dtype=self.dtype, name=f"layer{i}")(x, deterministic,
                                                     attn_mask)
@@ -196,6 +200,7 @@ class CascadeMiT(nn.Module):
     sr_ratios: Sequence[int] = (8, 4, 2, 1)
     mlp_ratio: int = 4
     drop_path_rate: float = 0.1
+    with_cp: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -233,6 +238,7 @@ class CascadeMiT(nn.Module):
                 d * nh[i], self.num_layers[i], nh[i], self.sr_ratios[i],
                 self.mlp_ratio,
                 tuple(dpr[offsets[i]:offsets[i] + self.num_layers[i]]),
+                with_cp=self.with_cp,
                 dtype=self.dtype, name=f"stage{i}")(inp, deterministic, mask)
 
         def up(t, ref):

@@ -93,3 +93,27 @@ def test_metrics_logger_and_saver():
         run_dir = sv.snapshot(__file__)
         assert os.path.exists(os.path.join(
             run_dir, os.path.basename(__file__)))
+
+
+def test_create_recognition_dataset_roundtrip():
+    from PIL import Image
+    from fudanocr_tpu.data.create_lmdb import create_recognition_dataset
+    from fudanocr_tpu.data.rec_dataset import RecLMDBDataset
+
+    samples = [(Image.new("RGB", (20, 10), (i * 30, 0, 0)), f"lab{i}")
+               for i in range(5)]
+    with tempfile.TemporaryDirectory() as tmp:
+        n = create_recognition_dataset(f"{tmp}/db", samples)
+        assert n == 5
+        ds = RecLMDBDataset(f"{tmp}/db", image_size=(10, 20))
+        assert len(ds) == 5
+        arr, label = ds[2]
+        assert arr.shape == (10, 20, 3) and label == "lab2"
+
+
+def test_labelmaps():
+    from fudanocr_tpu.eval.labelmaps import get_vocabulary, char2id
+
+    voc = get_vocabulary("LOWERCASE")
+    assert voc[-3:] == ["EOS", "PADDING", "UNKNOWN"]
+    assert char2id(voc)["a"] == 10
