@@ -120,8 +120,12 @@ class CascadeMiTDetGuided(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False
+    def __call__(self, x: jax.Array, train: bool = False,
+                 det_gt: Optional[jax.Array] = None
                  ) -> Tuple[List[jax.Array], jax.Array]:
+        """`det_gt` (B, H, W) {0,1} optionally replaces the predicted text
+        map for mask construction (EncoderDecoder_V4's gt-threading,
+        encoder_decoder.py:337 + cascade_mit forward(x, det_gt))."""
         d = self.embed_dims
         nh = self.num_heads
         deterministic = not train
@@ -158,7 +162,13 @@ class CascadeMiTDetGuided(nn.Module):
 
         # masks are non-differentiable in the reference too (the instance
         # map goes through numpy, the text map through .long())
-        text_map = jax.lax.stop_gradient(soft_argmax(det_logits))
+        if det_gt is not None:
+            b0 = det_gt.shape[0]
+            text_map = jax.image.resize(
+                det_gt.astype(jnp.float32),
+                (b0, x1.shape[1], x1.shape[2]), "nearest")
+        else:
+            text_map = jax.lax.stop_gradient(soft_argmax(det_logits))
         inst_map = instance_labels(text_map)
 
         # per-scale dual masked self-attention + gated fusion

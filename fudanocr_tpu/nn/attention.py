@@ -91,10 +91,24 @@ class MultiHeadAttention(nn.Module):
         b, lq = query.shape[0], query.shape[1]
         lk = key.shape[1]
 
-        dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
-        q = dense("q")(query).reshape(b, lq, h, dk).transpose(0, 2, 1, 3)
-        k = dense("k")(key).reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
-        v = dense("v")(value).reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
+        # fused projections: self-attention reads the token buffer ONCE
+        # through a (D, 3D) matmul; cross-attention fuses k/v into (D, 2D).
+        # (The reference runs four separate linears, tbsrn.py:116-119; the
+        # checkpoint converter concatenates them to match.)
+        if query is key and key is value:
+            qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(query)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(d, dtype=self.dtype, name="q")(query)
+            if key is value:
+                kv = nn.Dense(2 * d, dtype=self.dtype, name="kv")(key)
+                k, v = jnp.split(kv, 2, axis=-1)
+            else:
+                k = nn.Dense(d, dtype=self.dtype, name="k")(key)
+                v = nn.Dense(d, dtype=self.dtype, name="v")(value)
+        q = q.reshape(b, lq, h, dk).transpose(0, 2, 1, 3)
+        k = k.reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
+        v = v.reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
 
         if attention_map is not None:
             probs = attention_map
@@ -117,7 +131,7 @@ class MultiHeadAttention(nn.Module):
             out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, d)
-        out = dense("out")(out)
+        out = nn.Dense(d, dtype=self.dtype, name="out")(out)
         if not need_weights:
             probs = None
         return out, probs

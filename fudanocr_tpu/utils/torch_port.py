@@ -74,12 +74,25 @@ def birnn(sd, name):
     return out
 
 
-def _mha(sd, prefix):
-    """reference MultiHeadedAttention.linears[0..3] -> our q/k/v/out."""
-    return {"q": linear(sd, f"{prefix}.linears.0"),
-            "k": linear(sd, f"{prefix}.linears.1"),
-            "v": linear(sd, f"{prefix}.linears.2"),
-            "out": linear(sd, f"{prefix}.linears.3")}
+def _mha(sd, prefix, kind: str = "self"):
+    """reference MultiHeadedAttention.linears[0..3] -> our fused layout:
+    self-attention gets one (D, 3D) 'qkv'; cross-attention keeps 'q' and a
+    fused (D, 2D) 'kv' (see nn/attention.py)."""
+    lq = linear(sd, f"{prefix}.linears.0")
+    lk = linear(sd, f"{prefix}.linears.1")
+    lv = linear(sd, f"{prefix}.linears.2")
+    out = {"out": linear(sd, f"{prefix}.linears.3")}
+    if kind == "self":
+        out["qkv"] = {
+            "kernel": np.concatenate([lq["kernel"], lk["kernel"],
+                                      lv["kernel"]], axis=1),
+            "bias": np.concatenate([lq["bias"], lk["bias"], lv["bias"]])}
+    else:
+        out["q"] = lq
+        out["kv"] = {
+            "kernel": np.concatenate([lk["kernel"], lv["kernel"]], axis=1),
+            "bias": np.concatenate([lk["bias"], lv["bias"]])}
+    return out
 
 
 def _stn_head(sd, prefix="stn_head"):
@@ -264,9 +277,9 @@ def port_ocr_transformer(sd: Dict, layers=(3, 4, 6, 3),
         "encoder": enc_params,
         "embed": embedding(sd, "embedding_word.lut"),
         "decoder": {
-            "self_attn": _mha(sd, "decoder.mask_multihead"),
+            "self_attn": _mha(sd, "decoder.mask_multihead", "self"),
             "ln1": torch_layernorm(sd, "decoder.mul_layernorm1"),
-            "cross_attn": _mha(sd, "decoder.multihead"),
+            "cross_attn": _mha(sd, "decoder.multihead", "cross"),
             "ln2": torch_layernorm(sd, "decoder.mul_layernorm2"),
             "pff_w1": linear(sd, "decoder.pff.w_1"),
             "pff_w2": linear(sd, "decoder.pff.w_2"),
