@@ -73,6 +73,13 @@ def main(argv=None):
         rec_variables=rec_variables, converter=converter,
         seed=cfg.TRAIN.manualSeed)
 
+    if args.resume:
+        from fudanocr_tpu.core.checkpoint import latest
+        path = args.resume if args.resume != "auto" \
+            else latest(cfg.TRAIN.ckpt_dir)
+        if path:
+            trainer.resume(path)
+
     if args.demo:
         out = trainer.demo(cfg.TRAIN.VAL.vis_dir, n_vis=cfg.TRAIN.VAL.n_vis)
         print(f"wrote demo strips to {out}")

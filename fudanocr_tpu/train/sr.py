@@ -128,6 +128,16 @@ class SRTrainer:
         self.history = []
         self.best = {"acc": -1.0, "psnr": -1.0}
 
+    def resume(self, ckpt_path: str):
+        """Restore params/batch_stats from a checkpoint dir (the reference's
+        --resume, interfaces/base.py:181-187)."""
+        tree = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+        loaded = ckpt_lib.load(ckpt_path, tree)
+        self.state = self.state.replace(params=loaded["params"],
+                                        batch_stats=loaded["batch_stats"])
+        log.info("resumed from %s", ckpt_path)
+
     def _batches(self, data):
         return data.batches(self.batch_size)
 
