@@ -27,9 +27,16 @@ def main(argv=None):
     model = sr_common.build_sr_model(args, cfg)
     train_data = sr_common.build_dataset(cfg.TRAIN.train_data_dir, cfg,
                                          train=True)
-    val_data = sr_common.build_dataset(
-        cfg.TRAIN.VAL.val_data_dir[0] if cfg.TRAIN.VAL.val_data_dir else [],
-        cfg, train=False)
+    # difficulty buckets (easy/medium/hard) when multiple val dirs are set
+    val_dirs = cfg.TRAIN.VAL.val_data_dir
+    if len(val_dirs) > 1:
+        import os
+        val_data = {os.path.basename(d.rstrip("/")):
+                    sr_common.build_dataset(d, cfg, train=False)
+                    for d in val_dirs}
+    else:
+        val_data = sr_common.build_dataset(val_dirs[0] if val_dirs else [],
+                                           cfg, train=False)
 
     # loss: plain MSE unless --text_focus, which needs the frozen oracle
     if args.text_focus:

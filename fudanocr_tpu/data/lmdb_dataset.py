@@ -81,6 +81,34 @@ class PairedLMDBDataset(_LMDBBase):
         return hr, lr, str_filt(label, self.voc_type)
 
 
+class MixLMDBDataset(_LMDBBase):
+    """lmdbDataset_mix (dataset.py:155-202): at train time the LR image is
+    the stored LR with probability 0.5, else the HR itself; at test time
+    falls back to HR-only entries when no pair exists."""
+
+    def __init__(self, *args, test: bool = False, seed: int = 0, **kw):
+        super().__init__(*args, **kw)
+        self.test = test
+        import random as _random
+        self._rng = _random.Random(seed)
+
+    def __getitem__(self, index: int):
+        reader, i = self._locate(index)
+        label = (reader.get(b"label-%09d" % i) or b"").decode()
+        hr_buf = reader.get(b"image_hr-%09d" % i)
+        lr_buf = reader.get(b"image_lr-%09d" % i)
+        if hr_buf is None:
+            hr_buf = reader.get(b"image-%09d" % i)
+            lr_buf = None
+        hr = _decode(hr_buf)
+        if self.test:
+            lr = _decode(lr_buf) if lr_buf else hr
+        else:
+            lr = (_decode(lr_buf)
+                  if lr_buf and self._rng.random() < 0.5 else hr)
+        return hr, lr, str_filt(label, self.voc_type)
+
+
 def create_dataset(out_path: str, samples, quality: int = 95) -> int:
     """createDataset equivalent (create_lmdb.py:184-233): write (hr_image,
     lr_image_or_None, label) triples into a new LMDB. Returns sample count."""

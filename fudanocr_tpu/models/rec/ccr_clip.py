@@ -118,6 +118,46 @@ class ResidualAttentionBlock(nn.Module):
         return x + h
 
 
+class VisionTransformer(nn.Module):
+    """CLIP ViT image tower (CCR-CLIP/model.py:99-132). The reference
+    defines it but selects the ResNet at model.py:148-149; kept for
+    completeness/config parity."""
+
+    patch_size: int = 16
+    width: int = 512
+    layers: int = 6
+    heads: int = 8
+    output_dim: int = 2048
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        b = x.shape[0]
+        x = nn.Conv(self.width, (self.patch_size, self.patch_size),
+                    (self.patch_size, self.patch_size), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = x.reshape(b, -1, self.width)
+        scale = self.width ** -0.5
+        cls = self.param("class_embedding",
+                         nn.initializers.normal(scale), (self.width,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, self.width)).astype(x.dtype), x],
+            axis=1)
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(scale),
+                         (x.shape[1], self.width))
+        x = x + pos.astype(x.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(self.width, self.heads,
+                                       dtype=self.dtype,
+                                       name=f"block{i}")(x, causal=False)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0])
+        proj = self.param("proj", nn.initializers.normal(scale),
+                          (self.width, self.output_dim))
+        return x @ proj.astype(x.dtype)
+
+
 class CCRCLIP(nn.Module):
     vocab_size: int
     embed_dim: int = 2048

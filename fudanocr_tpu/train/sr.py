@@ -196,11 +196,11 @@ class SRTrainer:
                 written += 1
         return out_dir
 
-    def evaluate(self, it: int = 0) -> Dict[str, float]:
+    def _evaluate_one(self, data) -> Dict[str, float]:
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
         psnrs, ssims, preds, gts = [], [], [], []
-        for hr, lr, labels in self._batches(self.eval_data):
+        for hr, lr, labels in data.batches(self.batch_size):
             out = self.eval_step(variables, jnp.asarray(lr),
                                  jnp.asarray(hr), self.rec_variables)
             psnrs.append(float(out["psnr"]))
@@ -213,10 +213,28 @@ class SRTrainer:
                "ssim": float(np.mean(ssims)) if ssims else 0.0}
         if gts:
             res["acc"] = sequence_accuracy(preds, gts)
+        return res
+
+    def evaluate(self, it: int = 0) -> Dict[str, float]:
+        """eval_data may be one dataset or a dict of difficulty buckets
+        (easy/medium/hard, super_resolution.py:103-135); the best checkpoint
+        tracks the SUMMED accuracy across buckets as the reference does."""
+        if isinstance(self.eval_data, dict):
+            res: Dict[str, float] = {}
+            acc_sum = 0.0
+            for name, data in self.eval_data.items():
+                bucket = self._evaluate_one(data)
+                log.info("eval[%s] @%d: %s", name, it, bucket)
+                for k, v in bucket.items():
+                    res[f"{name}_{k}"] = v
+                acc_sum += bucket.get("acc", bucket["psnr"])
+            res["acc"] = acc_sum
+        else:
+            res = self._evaluate_one(self.eval_data)
         self.history.append({"iter": it, **res})
         log.info("eval @%d: %s", it, res)
-        if self.ckpt_dir and res.get("acc", res["psnr"]) >= self.best.get(
-                "acc", -1.0):
+        if self.ckpt_dir and res.get("acc", res.get("psnr", 0.0)) >= \
+                self.best.get("acc", -1.0):
             self.best = res
             ckpt_lib.save(f"{self.ckpt_dir}/best",
                           {"params": self.state.params,

@@ -51,3 +51,14 @@ def test_eot_pooling_uses_terminator_position():
     # causal mask + EOT pooling at '$': tokens after '$' cannot change it
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_vit_tower_shape():
+    from fudanocr_tpu.models.rec.ccr_clip import VisionTransformer
+
+    vit = VisionTransformer(patch_size=16, width=32, layers=1, heads=2,
+                            output_dim=16)
+    x = jnp.zeros((2, 64, 64, 3))
+    vs = vit.init(jax.random.PRNGKey(0), x)
+    y = vit.apply(vs, x)
+    assert y.shape == (2, 16)

@@ -103,3 +103,21 @@ def test_native_reader_agrees_with_python():
         assert nat.get(b"nope") is None
         assert int(nat._native.lmdb_entries(nat._native_env)) == len(data)
         nat.close(); py.close()
+
+
+def test_mix_dataset_modes():
+    from fudanocr_tpu.data.lmdb_dataset import MixLMDBDataset
+    from fudanocr_tpu.data.synthetic import SyntheticTextZoom
+
+    syn = SyntheticTextZoom(num_samples=6, hr_size=(64, 16))
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "db")
+        create_dataset(path, [syn[i] for i in range(6)])
+        ds_test = MixLMDBDataset(path, voc_type="lower", test=True,
+                                 batch_hw=(16, 64), scale=2)
+        hr, lr, label = ds_test[0]
+        assert hr.size == (64, 16) and lr.size == (32, 8)
+        ds_train = MixLMDBDataset(path, voc_type="lower", test=False,
+                                  batch_hw=(16, 64), scale=2, seed=1)
+        sizes = {ds_train[i][1].size for i in range(6)}
+        assert len(sizes) >= 1  # mixes stored LR and HR-as-LR
