@@ -22,7 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from fudanocr_tpu.ops.flash_attention import flash_attention_supported, flash_mha
+from fudanocr_tpu.ops.flash_attention import (flash_attention_supported,
+                                              flash_mha, flash_mha_packed,
+                                              flash_packed_supported)
 
 Dtype = Any
 
@@ -98,6 +100,15 @@ class MultiHeadAttention(nn.Module):
         if query is key and key is value:
             qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(query)
             q, k, v = jnp.split(qkv, 3, axis=-1)
+            if (self.use_flash and not need_weights and mask is None
+                    and attention_map is None
+                    and (deterministic or self.dropout_rate == 0.0)
+                    and flash_packed_supported(lq, lk, d, h)):
+                # lane-packed kernel: no (B,H,L,Dh) transpose, no layout
+                # copies at the custom-call boundary
+                out = flash_mha_packed(q, k, v, h)
+                out = nn.Dense(d, dtype=self.dtype, name="out")(out)
+                return out, None
         else:
             q = nn.Dense(d, dtype=self.dtype, name="q")(query)
             if key is value:

@@ -119,6 +119,59 @@ def _mha_full(q3, k3, v3, scale: float, group: int):
     )(q3, k3, v3)
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, heads):
+    """Per-head attention over lane-packed (L, H*Dh) blocks.
+
+    Taking q/k/v in their NATIVE (B, L, H*Dh) layout (lanes = 128 for the
+    TBSRN enhancer) avoids the (B, H, L, Dh) transpose entirely: with
+    Dh=32 that transpose forces XLA layout copies of 4x-lane-padded
+    buffers around the custom call — measured ~11.5 ms/step of pure copies
+    in the TBSRN forward trace. Head slices are static lane offsets."""
+    dh = q_ref.shape[-1] // heads
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads",))
+def flash_mha_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                     heads: int) -> jax.Array:
+    """Multi-head attention over (B, L, H*Dh) packed inputs -> same shape."""
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    dh = d // heads
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, scale=1.0 / math.sqrt(dh),
+                          heads=heads),
+        out_shape=jax.ShapeDtypeStruct((b, lq, d), q.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0)),
+        interpret=jax.default_backend() == "cpu",
+    )(q, k, v)
+
+
+def flash_packed_supported(lq: int, lk: int, d: int, heads: int) -> bool:
+    return (lq == lk and 512 <= lq <= 2048 and lq % 256 == 0
+            and d % heads == 0 and d <= 512 and (d // heads) % 8 == 0)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
               block_q: int = _BQ, block_k: int = _BK) -> jax.Array:

@@ -151,10 +151,15 @@ class SRTrainer:
                 "lengths": jnp.asarray(lengths)}
 
     def train(self):
+        from fudanocr_tpu.data.prefetch import prefetch
+
         it = 0
         for epoch in range(self.epochs):
-            for hr, lr, labels in self._batches(self.train_data):
-                batch = self._device_batch(hr, lr, labels)
+            # host decode/collate/label-encode runs one batch ahead on a
+            # background thread while the device executes (SURVEY.md §7.7)
+            batches = prefetch(self._batches(self.train_data),
+                               transform=lambda b: self._device_batch(*b))
+            for batch in batches:
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self.train_step(self.state, batch,
                                                       step_rng)

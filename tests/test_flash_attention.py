@@ -32,3 +32,24 @@ def test_supported_gate():
     assert not flash_attention_supported((2, 4, 100, 32))   # unaligned L
     assert not flash_attention_supported((2, 4, 256, 32))   # too small
     assert not flash_attention_supported((2, 4, 1024, 48))  # odd head dim
+
+
+def test_packed_kernel_matches_oracle():
+    from fudanocr_tpu.ops.flash_attention import (flash_mha_packed,
+                                                  flash_packed_supported)
+
+    rng = np.random.default_rng(12)
+    b, heads, l, dh = 2, 4, 512, 32
+    d = heads * dh
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    assert flash_packed_supported(l, l, d, heads)
+
+    got = np.asarray(flash_mha_packed(q, k, v, heads))
+    # oracle: reshape to (B, H, L, Dh), per-head softmax attention
+    def split(x):
+        return x.reshape(b, l, heads, dh).transpose(0, 2, 1, 3)
+    o = _oracle(split(q), split(k), split(v))
+    want = np.asarray(o).transpose(0, 2, 1, 3).reshape(b, l, d)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
