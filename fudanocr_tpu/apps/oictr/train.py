@@ -86,11 +86,14 @@ class OICTRTrainer:
                                    terminator="$")
         self.templates = render_char_templates(charset)
 
+        from fudanocr_tpu.data.rec_dataset import OrientationLMDBDataset
+
         size = (cfg.imageH, cfg.imageW)
         if cfg.train_dataset:
-            self.train_data = RecLMDBDataset(cfg.train_dataset.split(","),
-                                             size)
-            self.test_data = RecLMDBDataset(cfg.test_dataset.split(","), size)
+            self.train_data = OrientationLMDBDataset(
+                cfg.train_dataset.split(","), size)
+            self.test_data = OrientationLMDBDataset(
+                cfg.test_dataset.split(","), size)
         else:
             cs = "".join(charset)
             self.train_data = SyntheticCharDataset(cs, cfg.synthetic_samples,
@@ -157,13 +160,14 @@ class OICTRTrainer:
 
         return jax.jit(step, donate_argnums=(0,))
 
-    def _device_batch(self, images, labels):
+    def _device_batch(self, images, labels, is_v=None):
         cfg = self.cfg
         text_input, text_gt, lengths = self.codec.encode(labels, cfg.max_len)
         b, l = text_gt.shape
-        # orientation from the label length heuristic is not available for
-        # synthetic chars; treat square-ish images as horizontal
-        is_v = np.zeros((b,), np.int32)
+        # orientation comes from the dataset's aspect-ratio rule when
+        # available (OrientationLMDBDataset); synthetic chars are horizontal
+        is_v = (np.zeros((b,), np.int32) if is_v is None
+                else np.asarray(is_v, np.int32))
         char_valid = np.zeros((b, l), np.float32)
         raw_gt = np.zeros((b * l, 32, 32, 3), np.float32)
         new_gt = np.zeros((b * l, 32, 32, 3), np.float32)
@@ -198,10 +202,10 @@ class OICTRTrainer:
         rng = jax.random.PRNGKey(0)
         it = 0
         for epoch in range(cfg.epoch):
-            for images, labels in self.train_data.batches(cfg.batch):
+            for batch in self.train_data.batches(cfg.batch):
                 rng, srng = jax.random.split(rng)
                 self.state, loss = self.train_step(
-                    self.state, self._device_batch(images, labels), srng)
+                    self.state, self._device_batch(*batch), srng)
                 it += 1
                 if it % 50 == 0:
                     log.info("epoch %d iter %d loss %.4f", epoch, it,
@@ -216,7 +220,8 @@ class OICTRTrainer:
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
         correct, total = 0, 0
-        for images, labels in self.test_data.batches(self.cfg.batch):
+        for batch in self.test_data.batches(self.cfg.batch):
+            images, labels = batch[0], batch[1]
             ids = np.asarray(greedy_decode(self.model, variables,
                                            jnp.asarray(images),
                                            self.cfg.max_len))

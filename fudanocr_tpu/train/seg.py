@@ -122,7 +122,8 @@ class SegTrainer:
                  loss_weights: Optional[Dict[str, float]] = None,
                  crop: Optional[Tuple[int, int]] = None,
                  stride: Optional[Tuple[int, int]] = None,
-                 ckpt_dir: Optional[str] = None, mesh=None, seed: int = 0):
+                 ckpt_dir: Optional[str] = None, mesh=None, seed: int = 0,
+                 log_dir: Optional[str] = None):
         self.model = model
         self.train_data = train_data
         self.eval_data = eval_data
@@ -145,6 +146,10 @@ class SegTrainer:
                                        variables.get("batch_stats", {}), tx)
         self.train_step = make_seg_train_step(model, self.mesh, loss_weights)
         self.best = -1.0
+        self.metrics_logger = None
+        if log_dir:
+            from fudanocr_tpu.core.logging import MetricsLogger
+            self.metrics_logger = MetricsLogger(log_dir)
 
     def train(self):
         it = 0
@@ -158,8 +163,10 @@ class SegTrainer:
                     self.state, jnp.asarray(img), jnp.asarray(gt), rng)
                 it += 1
                 if it % 50 == 0:
-                    log.info("iter %d/%d %s", it, self.total_iters,
-                             {k: float(v) for k, v in metrics.items()})
+                    m = {k: float(v) for k, v in metrics.items()}
+                    log.info("iter %d/%d %s", it, self.total_iters, m)
+                    if self.metrics_logger:
+                        self.metrics_logger.scalars(m, it, "train/")
                 if it % self.eval_every == 0:
                     self.evaluate(it)
         return self.state
@@ -190,6 +197,8 @@ class SegTrainer:
         res = total_metrics(*hist)
         summary = {k: res[k] for k in ("aAcc", "mIoU", "mDice", "mFscore")}
         log.info("eval @%d: %s", it, summary)
+        if self.metrics_logger:
+            self.metrics_logger.scalars(summary, it, "eval/")
         if self.ckpt_dir and res["mIoU"] >= self.best:
             self.best = res["mIoU"]
             ckpt_lib.save(f"{self.ckpt_dir}/best",

@@ -99,7 +99,8 @@ class SRTrainer:
                  ckpt_dir: Optional[str] = None,
                  recognizer=None, rec_variables=None,
                  converter: Optional[CTCLabelConverter] = None,
-                 mesh=None, seed: int = 1234):
+                 mesh=None, seed: int = 1234,
+                 log_dir: Optional[str] = None):
         from fudanocr_tpu.train.state import adam_with_clip
 
         self.model = model
@@ -127,6 +128,10 @@ class SRTrainer:
         self.eval_step = make_sr_eval_step(model, self.mesh, recognizer)
         self.history = []
         self.best = {"acc": -1.0, "psnr": -1.0}
+        self.metrics_logger = None
+        if log_dir:
+            from fudanocr_tpu.core.logging import MetricsLogger
+            self.metrics_logger = MetricsLogger(log_dir)
 
     def resume(self, ckpt_path: str):
         """Restore params/batch_stats from a checkpoint dir (the reference's
@@ -167,6 +172,8 @@ class SRTrainer:
                 if it % 50 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     log.info("epoch %d iter %d %s", epoch, it, m)
+                    if self.metrics_logger:
+                        self.metrics_logger.scalars(m, it, "train/")
                 if it % self.eval_every == 0:
                     self.evaluate(it)
         return self.state
@@ -238,6 +245,8 @@ class SRTrainer:
             res = self._evaluate_one(self.eval_data)
         self.history.append({"iter": it, **res})
         log.info("eval @%d: %s", it, res)
+        if self.metrics_logger:
+            self.metrics_logger.scalars(res, it, "eval/")
         if self.ckpt_dir and res.get("acc", res.get("psnr", 0.0)) >= \
                 self.best.get("acc", -1.0):
             self.best = res

@@ -134,3 +134,62 @@ def test_sld_transformer_port_parity():
         want = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)), length,
                    torch.from_numpy(text), test=True)["pred"].numpy()
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SLD), reason="reference absent")
+def test_greedy_decode_matches_reference_autoregressive_loop():
+    """Our fixed-length fori_loop greedy decode must produce the same token
+    sequences as the reference's python autoregressive eval loop with conv
+    caching (stroke-level-decomposition/train.py:110-121)."""
+    from fudanocr_tpu.models.rec.ocr_transformer import (OCRTransformer,
+                                                         greedy_decode)
+    from fudanocr_tpu.utils.torch_port import port_ocr_transformer
+
+    import types
+    for name in ("torchvision", "torchvision.models",
+                 "torchvision.transforms", "lmdb"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    cwd = os.getcwd()
+    sys.path.insert(0, REF_SLD)
+    os.chdir(REF_SLD)
+    try:
+        for m in list(sys.modules):
+            if m.startswith("model") or m.startswith("data") \
+                    or m in ("util", "config"):
+                sys.modules.pop(m, None)
+        import importlib
+        mod = importlib.import_module("model.transformer")
+    finally:
+        os.chdir(cwd)
+        sys.path.pop(0)
+
+    torch.manual_seed(7)
+    ref = mod.Transformer("stroke").eval()
+    vocab = ref.word_n_class
+    variables = port_ocr_transformer(ref.state_dict(), layers=(3, 4, 6, 3))
+    ours = OCRTransformer(vocab=vocab, num_in=3, layers=(3, 4, 6, 3),
+                          num_heads=4, stage1_pool=False)
+
+    rng = np.random.default_rng(7)
+    img = rng.random((2, 32, 32, 3)).astype(np.float32)
+    max_len = 6
+
+    got = np.asarray(greedy_decode(ours, variables, jnp.asarray(img),
+                                   max_len))
+
+    # reference loop: grow the prefix one token per step, reusing conv
+    timg = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        conv = ref(timg, None, None)['conv']
+        prefix = torch.zeros((2, 1), dtype=torch.long)
+        preds = []
+        for i in range(max_len):
+            length = torch.tensor([i + 1] * 2)
+            out = ref(timg, length, prefix, conv_feature=conv,
+                      test=True)['pred']
+            nxt = out[:, i, :].argmax(-1)
+            preds.append(nxt.numpy())
+            prefix = torch.cat([prefix, nxt[:, None]], dim=1)
+    want = np.stack(preds, axis=1)
+    np.testing.assert_array_equal(got, want)
