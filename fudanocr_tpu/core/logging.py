@@ -123,3 +123,22 @@ class StepTimer:
             jax.block_until_ready(result)
         dt = time.perf_counter() - self.t0
         return self.images / dt if dt > 0 else 0.0
+
+
+class AverageMeter:
+    """Running average (scene-text-telescope/utils/meters.py equivalent)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+        self.avg = 0.0
+
+    def update(self, val: float, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
