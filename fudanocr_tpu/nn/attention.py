@@ -103,6 +103,7 @@ class MultiHeadAttention(nn.Module):
             if (self.use_flash and not need_weights and mask is None
                     and attention_map is None
                     and (deterministic or self.dropout_rate == 0.0)
+                    and jax.default_backend() != "cpu"
                     and flash_packed_supported(lq, lk, d, h)):
                 # lane-packed kernel: no (B,H,L,Dh) transpose, no layout
                 # copies at the custom-call boundary
@@ -126,6 +127,8 @@ class MultiHeadAttention(nn.Module):
             out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
         elif (self.use_flash and not need_weights and mask is None
               and (deterministic or self.dropout_rate == 0.0)
+              and jax.default_backend() != "cpu"  # interpret mode is slow;
+              # the kernels are covered directly by tests/test_flash_attention
               and flash_attention_supported(q.shape)):
             out = flash_mha(q, k, v)
             probs = None
