@@ -45,7 +45,10 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
+        # explicit (1,1) padding: torch pads symmetrically for strided
+        # 3x3 convs while XLA's SAME pads (0,1) — different alignment
         y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
+                    padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = nn.relu(bn("bn2")(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
@@ -113,7 +116,7 @@ class ResidualAttentionBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(4 * d, dtype=self.dtype, name="mlp_fc")(h)
-        h = nn.gelu(h, approximate=False)
+        h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU (model.py:59-62)
         h = nn.Dense(d, dtype=self.dtype, name="mlp_proj")(h)
         return x + h
 

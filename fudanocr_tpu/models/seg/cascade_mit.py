@@ -57,8 +57,9 @@ class ResNetBlock(nn.Module):
                                        name=name)
         s = (self.stride, self.stride)
         r = x
-        y = nn.Conv(self.features, (3, 3), s, dtype=self.dtype,
-                    name="conv1")(x)
+        # torch-style symmetric padding for strided convs (see ccr_clip)
+        y = nn.Conv(self.features, (3, 3), s, padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
         y = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv2")(y)
         y = bn("bn2")(y)
@@ -210,7 +211,8 @@ class CascadeMiT(nn.Module):
         deterministic = not train
 
         # conv stem + ResNet pyramid (cascade_mit.py:455-474,497-501)
-        x1 = nn.Conv(d, (7, 7), (4, 4), dtype=self.dtype, name="stem_conv")(x)
+        x1 = nn.Conv(d, (7, 7), (4, 4), padding=((3, 3), (3, 3)),
+                     dtype=self.dtype, name="stem_conv")(x)
         x1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=self.dtype,
                           name="stem_bn")(x1)

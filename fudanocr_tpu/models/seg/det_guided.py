@@ -132,7 +132,8 @@ class CascadeMiTDetGuided(nn.Module):
         dims = [d * h for h in nh]
 
         # stem + pyramid (shared with the plain CascadeMiT layout)
-        x1 = nn.Conv(d, (7, 7), (4, 4), dtype=self.dtype, name="stem_conv")(x)
+        x1 = nn.Conv(d, (7, 7), (4, 4), padding=((3, 3), (3, 3)),
+                     dtype=self.dtype, name="stem_conv")(x)
         x1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=self.dtype, name="stem_bn")(x1)
         feats = [x1]

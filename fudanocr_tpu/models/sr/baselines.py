@@ -216,8 +216,8 @@ class SRDiscriminator(nn.Module):
         feats = [(64, 1), (64, 2), (128, 1), (128, 2), (256, 1), (256, 2),
                  (512, 1), (512, 2)]
         for i, (f, s) in enumerate(feats):
-            x = nn.Conv(f, (3, 3), (s, s), dtype=self.dtype,
-                        name=f"conv{i}")(x)
+            x = nn.Conv(f, (3, 3), (s, s), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name=f"conv{i}")(x)
             if i > 0:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,

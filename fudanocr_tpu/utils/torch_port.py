@@ -290,11 +290,77 @@ def port_ocr_transformer(sd: Dict, layers=(3, 4, 6, 3),
     return {"params": params, "batch_stats": {"encoder": enc_stats}}
 
 
+def _clip_bottleneck(sd, prefix, downsample: bool):
+    blk: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in (1, 2, 3):
+        blk[f"conv{i}"] = conv(sd, f"{prefix}.conv{i}")
+        p, s = bn(sd, f"{prefix}.bn{i}")
+        blk[f"bn{i}"] = p
+        stats[f"bn{i}"] = s
+    if downsample:
+        blk["down_conv"] = conv(sd, f"{prefix}.downsample.0")
+        p, s = bn(sd, f"{prefix}.downsample.1")
+        blk["down_bn"] = p
+        stats["down_bn"] = s
+    return blk, stats
+
+
+def port_ccr_clip(sd: Dict, layers=(3, 4, 6, 3),
+                  transformer_layers: int = 12) -> Dict:
+    """image-ids-CTR/CCR-CLIP model.py:135-221 + resnet50.py -> CCRCLIP.
+
+    torch nn.MultiheadAttention's fused in_proj maps directly onto our
+    ResidualAttentionBlock's attn_in Dense."""
+    sd = strip_module_prefix(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    vis: Dict[str, Any] = {"stem_conv": conv(sd, "visual.conv1")}
+    vstats: Dict[str, Any] = {}
+    p, s = bn(sd, "visual.bn1")
+    vis["stem_bn"] = p
+    vstats["stem_bn"] = s
+    in_ch = 64
+    for li, (n, planes) in enumerate(zip(layers, (64, 128, 256, 512))):
+        for b_i in range(n):
+            stride = 2 if (b_i == 0 and li > 0) else 1
+            down = (b_i == 0 and (stride != 1 or in_ch != planes * 4))
+            blk, bs = _clip_bottleneck(sd, f"visual.layer{li+1}.{b_i}", down)
+            vis[f"layer{li+1}_{b_i}"] = blk
+            vstats[f"layer{li+1}_{b_i}"] = bs
+            in_ch = planes * 4
+    params["visual"] = vis
+    stats["visual"] = vstats
+
+    params["token_embedding"] = embedding(sd, "token_embedding")
+    params["positional_embedding"] = _np(sd["positional_embedding"])
+    for i in range(transformer_layers):
+        t = f"transformer.resblocks.{i}"
+        params[f"block{i}"] = {
+            "ln_1": {"scale": _np(sd[f"{t}.ln_1.weight"]),
+                     "bias": _np(sd[f"{t}.ln_1.bias"])},
+            "attn_in": {"kernel": _np(sd[f"{t}.attn.in_proj_weight"]).T,
+                        "bias": _np(sd[f"{t}.attn.in_proj_bias"])},
+            "attn_out": linear(sd, f"{t}.attn.out_proj"),
+            "ln_2": {"scale": _np(sd[f"{t}.ln_2.weight"]),
+                     "bias": _np(sd[f"{t}.ln_2.bias"])},
+            "mlp_fc": linear(sd, f"{t}.mlp.c_fc"),
+            "mlp_proj": linear(sd, f"{t}.mlp.c_proj"),
+        }
+    params["ln_final"] = {"scale": _np(sd["ln_final.weight"]),
+                          "bias": _np(sd["ln_final.bias"])}
+    params["text_projection"] = _np(sd["text_projection"])
+    params["logit_scale"] = _np(sd["logit_scale"])
+    return {"params": params, "batch_stats": stats}
+
+
 PORTERS = {
     "tbsrn": port_tbsrn,
     "tsrn": port_tsrn,
     "crnn": port_crnn,
     "ocr_transformer": port_ocr_transformer,
+    "ccr_clip": port_ccr_clip,
 }
 
 

@@ -32,7 +32,7 @@ def _import_ref(root, module):
     try:
         import importlib
         for m in list(sys.modules):
-            if m == module or m.startswith("model"):
+            if m == module or m == "model" or m.startswith("model."):
                 sys.modules.pop(m, None)
         return importlib.import_module(module)
     finally:
@@ -103,8 +103,9 @@ def test_sld_transformer_port_parity():
     os.chdir(REF_SLD)
     try:
         for m in list(sys.modules):
-            if m.startswith("model") or m.startswith("data") \
-                    or m in ("util", "config"):
+            if m == "model" or m.startswith("model.") \
+                    or m == "data" or m.startswith("data.") \
+                    or m in ("util", "config", "resnet50"):
                 sys.modules.pop(m, None)
         import importlib
         mod = importlib.import_module("model.transformer")
@@ -155,8 +156,9 @@ def test_greedy_decode_matches_reference_autoregressive_loop():
     os.chdir(REF_SLD)
     try:
         for m in list(sys.modules):
-            if m.startswith("model") or m.startswith("data") \
-                    or m in ("util", "config"):
+            if m == "model" or m.startswith("model.") \
+                    or m == "data" or m.startswith("data.") \
+                    or m in ("util", "config", "resnet50"):
                 sys.modules.pop(m, None)
         import importlib
         mod = importlib.import_module("model.transformer")
@@ -193,3 +195,50 @@ def test_greedy_decode_matches_reference_autoregressive_loop():
             prefix = torch.cat([prefix, nxt[:, None]], dim=1)
     want = np.stack(preds, axis=1)
     np.testing.assert_array_equal(got, want)
+
+
+REF_CLIP = "/root/reference/image-ids-CTR/CCR-CLIP"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CLIP), reason="reference absent")
+def test_ccr_clip_port_parity():
+    from fudanocr_tpu.models.rec.ccr_clip import CCRCLIP
+    from fudanocr_tpu.utils.torch_port import port_ccr_clip
+
+    # CLIP.__init__ does `from resnet50 import ...` lazily — keep the
+    # reference dir on sys.path through construction
+    sys.path.insert(0, REF_CLIP)
+    try:
+        for m in ("model", "resnet50"):
+            sys.modules.pop(m, None)
+        import importlib
+        mod = importlib.import_module("model")
+        torch.manual_seed(3)
+        vocab = 24
+        ref = mod.CLIP(embed_dim=2048, context_length=8, vocab_size=vocab,
+                       transformer_width=64, transformer_heads=4,
+                       transformer_layers=2).eval()
+    finally:
+        sys.path.pop(0)
+    variables = port_ccr_clip(ref.state_dict(), transformer_layers=2)
+
+    ours = CCRCLIP(vocab_size=vocab, context_length=8, transformer_width=64,
+                   transformer_heads=4, transformer_layers=2)
+
+    rng = np.random.default_rng(3)
+    img = rng.random((2, 32, 32, 3)).astype(np.float32)
+    # token rows must end with the max id (EOT pooling, model.py:205)
+    txt = np.asarray([[1, 2, 3, vocab - 1, 0, 0, 0, 0],
+                      [4, 5, vocab - 1, 0, 0, 0, 0, 0]], np.int64)
+
+    got_i, got_t, got_s = ours.apply(variables, jnp.asarray(img),
+                                     jnp.asarray(txt.astype(np.int32)))
+    with torch.no_grad():
+        want_i, want_t, want_s = ref(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)),
+            torch.from_numpy(txt))
+    np.testing.assert_allclose(np.asarray(got_t), want_t.numpy(),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_i), want_i.numpy(),
+                               rtol=2e-3, atol=2e-4)
+    assert abs(float(got_s) - float(want_s)) < 1e-3
