@@ -103,6 +103,9 @@ class TBSRN(nn.Module):
     srb_nums: int = 5
     mask: bool = False        # 4th binary-mask channel
     hidden_units: int = 32
+    remat: bool = False       # rematerialize SRBs (big-batch training: the
+    # train path keeps fp32 attention probs for dropout; remat trades the
+    # recompute for fitting reference-scale global batches per chip)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -130,9 +133,11 @@ class TBSRN(nn.Module):
         stem = PReLU(name="stem_prelu")(stem)
 
         h = stem
+        block_cls = (nn.remat(TransformerResidualBlock, static_argnums=(2,))
+                     if self.remat else TransformerResidualBlock)
         for i in range(self.srb_nums):
-            h = TransformerResidualBlock(feats, dtype=self.dtype,
-                                         name=f"srb{i}")(h, train)
+            h = block_cls(feats, dtype=self.dtype,
+                          name=f"srb{i}")(h, train)
         h = ConvBN(feats, dtype=self.dtype, name="trunk_tail")(h, train)
 
         h = stem + h
