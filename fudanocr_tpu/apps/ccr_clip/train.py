@@ -102,8 +102,11 @@ def main(argv=None):
         test_data = SyntheticCharDataset(cs, max(cfg.synthetic_samples // 4,
                                                  8), size, seed=1)
 
+    # image-ids-CTR uses the wide 3-stage encoder with pools before every
+    # stage (image-ids-CTR/model/transformer.py:80-152)
     model = OCRTransformer(vocab=codec.num_classes, out_dim=2048,
-                           num_in=3, layers=(3, 4, 6, 3), num_heads=4)
+                           num_in=3, num_heads=4,
+                           encoder_preset="image_ids")
 
     def gallery_loss(out, batch):
         pred = out["pred"].astype(jnp.float32)  # (B, L, 2048)

@@ -126,8 +126,10 @@ class ACPM(nn.Module):
 
     def setup(self):
         if self.encoder == "resnet":
-            self._encoder = OCRResNet(3, (3, 4, 6, 3), stage1_pool=False,
-                                      dtype=self.dtype, name="encoder")
+            self._encoder = OCRResNet(
+                3, (3, 4, 6, 3),
+                stage_pools=(False, False, False, False),  # stem pool only
+                dtype=self.dtype, name="encoder")
         elif self.encoder == "densenet":
             self._encoder = DenseNetEncoder(dtype=self.dtype, name="encoder")
         elif self.encoder == "vgg":

@@ -65,16 +65,25 @@ class BasicBlock(nn.Module):
 
 
 class OCRResNet(nn.Module):
-    """The CTR encoder (loss/transformer.py:82-168): stem + 4 block stages,
-    1024-channel output. Downsampling varies by project: the SR loss
-    oracle, image-ids-CTR and OI-CTR pool at the stem AND before stage 1
-    (4x total); stroke-level-decomposition and ACPM pool only at the stem
-    (2x) — their layer1_pool is commented out (sld/model/transformer.py
-    forward). `stage1_pool` selects between them."""
+    """The CTR encoder family. Two reference variants share this code:
+
+    * narrow 4-stage (SR loss oracle loss/transformer.py:82-168, SLD,
+      ACPM): stages (256, 256, 512, 512) + a 1024 head conv; pools at the
+      stem (+ before stage 0 for the oracle; SLD/ACPM comment theirs out);
+    * wide 3-stage (OI-CTR transformer.py:125-199, image-ids-CTR
+      transformer.py:80-152): stages (256, 512, 1024), each followed by a
+      stage conv, NO head conv; pools before stages 0 and 1 (+ stage 2 for
+      image-ids-CTR).
+
+    `stage_pools[s]` pools before stage s; `stage_convs[s]` adds the
+    conv+BN+ReLU after stage s; `head_conv` adds the final 1024 head."""
 
     num_in: int = 3
     layers: Sequence[int] = (3, 4, 6, 3)
-    stage1_pool: bool = True
+    stage_feats: Sequence[int] = (256, 256, 512, 512)
+    stage_pools: Sequence[bool] = (True, False, False, False)
+    stage_convs: Sequence[bool] = (True, True, True, False)
+    head_conv: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -87,23 +96,43 @@ class OCRResNet(nn.Module):
         x = max_pool(x, 2)
         x = nn.Conv(128, (3, 3), dtype=self.dtype, name="stem2_conv")(x)
         x = nn.relu(bn("stem2_bn")(x))
-        if self.stage1_pool:
-            x = max_pool(x, 2)
 
-        stage_feats = (256, 256, 512, 512)
         in_feats = 128
-        for s, (n_blocks, feats) in enumerate(zip(self.layers, stage_feats)):
+        for s, (n_blocks, feats) in enumerate(zip(self.layers,
+                                                  self.stage_feats)):
+            if self.stage_pools[s]:
+                x = max_pool(x, 2)
             for i in range(n_blocks):
                 x = BasicBlock(feats, downsample=(i == 0 and in_feats != feats),
                                dtype=self.dtype, name=f"stage{s}_block{i}")(
                                    x, train)
             in_feats = feats
-            if s < 3:
+            if self.stage_convs[s]:
                 x = nn.Conv(feats, (3, 3), dtype=self.dtype,
                             name=f"stage{s}_conv")(x)
                 x = nn.relu(bn(f"stage{s}_bn")(x))
-        x = nn.Conv(1024, (3, 3), dtype=self.dtype, name="head_conv")(x)
-        return nn.relu(bn("head_bn")(x))
+        if self.head_conv:
+            x = nn.Conv(1024, (3, 3), dtype=self.dtype, name="head_conv")(x)
+            x = nn.relu(bn("head_bn")(x))
+        return x
+
+
+# encoder presets per reference project
+OCR_RESNET_PRESETS = {
+    # loss oracle: stem + stage0 pool (loss/transformer.py:144)
+    "oracle": dict(layers=(1, 2, 5, 3)),
+    # SLD/ACPM: stem pool only (their layer1_pool is commented out)
+    "sld": dict(layers=(3, 4, 6, 3),
+                stage_pools=(False, False, False, False)),
+    # OI-CTR: 3 wide stages, pools before stages 0,1, no head conv
+    "oictr": dict(layers=(3, 4, 6), stage_feats=(256, 512, 1024),
+                  stage_pools=(True, True, False),
+                  stage_convs=(True, True, True), head_conv=False),
+    # image-ids-CTR: like OI-CTR but also pools before stage 2
+    "image_ids": dict(layers=(3, 4, 6), stage_feats=(256, 512, 1024),
+                      stage_pools=(True, True, True),
+                      stage_convs=(True, True, True), head_conv=False),
+}
 
 
 class OCRDecoderLayer(nn.Module):
@@ -152,12 +181,18 @@ class OCRTransformer(nn.Module):
     max_len: int = 7000
     out_dim: Optional[int] = None  # None -> vocab logits
     stage1_pool: bool = True       # False for SLD/ACPM (2x downsample only)
+    encoder_preset: Optional[str] = None  # key into OCR_RESNET_PRESETS
     dtype: Optional[Dtype] = None
 
     def setup(self):
-        self._encoder = OCRResNet(self.num_in, self.layers,
-                                  stage1_pool=self.stage1_pool,
-                                  dtype=self.dtype, name="encoder")
+        if self.encoder_preset is not None:
+            kw = dict(OCR_RESNET_PRESETS[self.encoder_preset])
+        else:
+            kw = dict(layers=self.layers)
+            if not self.stage1_pool:
+                kw["stage_pools"] = (False, False, False, False)
+        self._encoder = OCRResNet(self.num_in, dtype=self.dtype,
+                                  name="encoder", **kw)
         self._embed = nn.Embed(self.vocab, self.d_embed, dtype=self.dtype,
                                name="embed")
         self._decoder = OCRDecoderLayer(self.num_heads, self.d_model,

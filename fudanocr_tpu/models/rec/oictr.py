@@ -59,8 +59,12 @@ class OICTR(nn.Module):
     dtype: Optional[Dtype] = None
 
     def setup(self):
-        self._encoder = OCRResNet(3, (3, 4, 6, 3), dtype=self.dtype,
-                                  name="encoder")
+        # the OI-CTR encoder is the WIDE 3-stage variant: stages
+        # (256, 512, 1024), pools before stages 0/1, no head conv
+        # (orientation-independent-CTR/model/transformer.py:125-199)
+        from fudanocr_tpu.models.rec.ocr_transformer import OCR_RESNET_PRESETS
+        self._encoder = OCRResNet(3, dtype=self.dtype, name="encoder",
+                                  **OCR_RESNET_PRESETS["oictr"])
         self._content = nn.Conv(512, (1, 1), dtype=self.dtype,
                                 name="content_extractor")
         self._dir_conv = nn.Conv(512, (1, 1), dtype=self.dtype,

@@ -220,8 +220,12 @@ def port_crnn(sd: Dict) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
-def _ocr_resnet(sd: Dict, prefix: str, layers) -> Tuple[Dict, Dict]:
-    """loss/transformer.py:82-168 ResNet -> OCRResNet tree."""
+def _ocr_resnet(sd: Dict, prefix: str, layers,
+                stage_feats=(256, 256, 512, 512),
+                stage_convs=(True, True, True, False),
+                head_conv: bool = True) -> Tuple[Dict, Dict]:
+    """The CTR ResNet family -> OCRResNet tree (both the narrow 4-stage
+    and the wide 3-stage variants; see OCRResNet docstring)."""
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
@@ -235,7 +239,6 @@ def _ocr_resnet(sd: Dict, prefix: str, layers) -> Tuple[Dict, Dict]:
     params["stem2_conv"] = conv(sd, f"{prefix}conv2")
     grab_bn(f"{prefix}bn2", "stem2_bn")
 
-    stage_feats = (256, 256, 512, 512)
     in_feats = 128
     for s_i, n_blocks in enumerate(layers):
         tl = f"{prefix}layer{s_i + 1}"
@@ -255,11 +258,12 @@ def _ocr_resnet(sd: Dict, prefix: str, layers) -> Tuple[Dict, Dict]:
             params[f"stage{s_i}_block{b_i}"] = blk
             stats[f"stage{s_i}_block{b_i}"] = bs
         in_feats = stage_feats[s_i]
-        if s_i < 3:
+        if stage_convs[s_i]:
             params[f"stage{s_i}_conv"] = conv(sd, f"{tl}_conv")
             grab_bn(f"{tl}_bn", f"stage{s_i}_bn")
-    params["head_conv"] = conv(sd, f"{prefix}layer4_conv2")
-    grab_bn(f"{prefix}layer4_conv2_bn", "head_bn")
+    if head_conv:
+        params["head_conv"] = conv(sd, f"{prefix}layer4_conv2")
+        grab_bn(f"{prefix}layer4_conv2_bn", "head_bn")
     return params, stats
 
 
@@ -353,6 +357,40 @@ def port_ccr_clip(sd: Dict, layers=(3, 4, 6, 3),
     params["text_projection"] = _np(sd["text_projection"])
     params["logit_scale"] = _np(sd["logit_scale"])
     return {"params": params, "batch_stats": stats}
+
+
+def port_oictr(sd: Dict) -> Dict:
+    """orientation-independent-CTR/model/transformer.py:399-424 -> OICTR
+    (recognition + direction branches; the deconv reconstructor is a
+    redesigned head here — see models/rec/oictr.py — and is not ported)."""
+    sd = strip_module_prefix(sd)
+    enc_params, enc_stats = _ocr_resnet(
+        sd, "encoder.", (3, 4, 6), stage_feats=(256, 512, 1024),
+        stage_convs=(True, True, True), head_conv=False)
+    params = {
+        "encoder": enc_params,
+        "content_extractor": conv(sd, "content_extractor"),
+        "dir_conv": conv(sd, "direction_extractor.conv1"),
+        "dir_linear": linear(sd, "direction_extractor.linear"),
+        "direction_cls": linear(sd, "direction_cls"),
+        "embed": embedding(sd, "embedding_word.lut"),
+        "decoder": {
+            "self_attn": _mha(sd, "decoder.mask_multihead", "self"),
+            "ln1": torch_layernorm(sd, "decoder.mul_layernorm1"),
+            "cross_attn": _mha(sd, "decoder.multihead", "cross"),
+            "ln2": torch_layernorm(sd, "decoder.mul_layernorm2"),
+            "pff_w1": linear(sd, "decoder.pff.w_1"),
+            "pff_w2": linear(sd, "decoder.pff.w_2"),
+            "ln3": torch_layernorm(sd, "decoder.mul_layernorm3"),
+        },
+        "generator": linear(sd, "generator_word.proj"),
+        # features_compress: torch conv2d over the HW axis (4, HW, 1, 1)
+        # -> our Dense over that axis (HW, 4)
+        "features_compress": {
+            "kernel": _np(sd["features_compress.weight"])[:, :, 0, 0].T,
+            "bias": _np(sd["features_compress.bias"])},
+    }
+    return {"params": params, "batch_stats": {"encoder": enc_stats}}
 
 
 PORTERS = {

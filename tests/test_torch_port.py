@@ -242,3 +242,115 @@ def test_ccr_clip_port_parity():
     np.testing.assert_allclose(np.asarray(got_i), want_i.numpy(),
                                rtol=2e-3, atol=2e-4)
     assert abs(float(got_s) - float(want_s)) < 1e-3
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_STT), reason="reference absent")
+def test_text_focus_oracle_port_parity():
+    """The frozen text-focus loss transformer (1-channel encoder
+    [1,2,5,3], 16-head decoder) — predictions AND cross-attention maps
+    must match, since the loss trains on the attention maps
+    (text_focus_loss.py:95)."""
+    from fudanocr_tpu.models.rec.ocr_transformer import OCRTransformer
+    from fudanocr_tpu.utils.torch_port import port_ocr_transformer
+
+    sys.path.insert(0, REF_STT)
+    try:
+        sys.modules.pop("loss", None)
+        sys.modules.pop("loss.transformer", None)
+        import importlib
+        mod = importlib.import_module("loss.transformer")
+    finally:
+        sys.path.pop(0)
+
+    torch.manual_seed(11)
+    ref = mod.Transformer().eval()  # vocab 37
+    variables = port_ocr_transformer(ref.state_dict(), layers=(1, 2, 5, 3))
+    ours = OCRTransformer(vocab=37, num_in=1, layers=(1, 2, 5, 3),
+                          num_heads=16)
+
+    rng = np.random.default_rng(11)
+    img = rng.random((2, 32, 128, 1)).astype(np.float32)
+    text = rng.integers(0, 37, (2, 5)).astype(np.int64)
+    length = torch.tensor([5, 5])
+
+    out = ours.apply(variables, jnp.asarray(img),
+                     jnp.asarray(text.astype(np.int32)))
+    with torch.no_grad():
+        # test=True returns the dense (B, L, C) results
+        want_pred = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                        length, torch.from_numpy(text), test=True)
+        # grab the attention map via the non-test path's ragged packing
+        _, want_map, _ = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                             length, torch.from_numpy(text), test=False)
+    np.testing.assert_allclose(np.asarray(out["pred"]), want_pred.numpy(),
+                               rtol=2e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["map"]), want_map.numpy(),
+                               rtol=2e-3, atol=1e-4)
+
+
+REF_OICTR = "/root/reference/orientation-independent-CTR"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_OICTR), reason="reference absent")
+def test_oictr_rec_path_port_parity():
+    """OI-CTR recognition + direction branches vs the reference (the
+    deconv reconstructor is a redesigned head and excluded)."""
+    from fudanocr_tpu.models.rec.oictr import OICTR
+    from fudanocr_tpu.utils.torch_port import port_oictr
+
+    import types
+    for name in ("torchvision", "torchvision.models",
+                 "torchvision.transforms", "lmdb"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    cwd = os.getcwd()
+    sys.path.insert(0, REF_OICTR)
+    os.chdir(REF_OICTR)
+    try:
+        for m in list(sys.modules):
+            if m == "model" or m.startswith("model.") \
+                    or m == "data" or m.startswith("data.") \
+                    or m in ("util", "config"):
+                sys.modules.pop(m, None)
+        import importlib
+        mod = importlib.import_module("model.transformer")
+        torch.manual_seed(13)
+        ref = mod.Transformer().eval()
+    finally:
+        os.chdir(cwd)
+        sys.path.pop(0)
+
+    vocab = ref.word_n_class
+    ported = port_oictr(ref.state_dict())
+    ours = OICTR(vocab=vocab)
+
+    rng = np.random.default_rng(13)
+    # reference geometry 32x256 -> 8x-downsampled 4x32 = 128 cells for
+    # features_compress (transformer.py:406)
+    img = rng.random((2, 32, 256, 3)).astype(np.float32)
+    text = rng.integers(0, vocab, (2, 4)).astype(np.int64)
+    length = torch.tensor([4, 4])
+
+    # merge ported rec/direction params over an initialized tree (the
+    # reconstructor keeps its random init)
+    init_vars = ours.init(jax.random.PRNGKey(0), jnp.asarray(img),
+                          jnp.zeros((2, 4), jnp.int32))
+    params = dict(init_vars["params"])
+    params.update(ported["params"])
+    variables = {"params": params,
+                 "batch_stats": {**init_vars["batch_stats"],
+                                 **ported["batch_stats"]}}
+
+    out = ours.apply(variables, jnp.asarray(img),
+                     jnp.asarray(text.astype(np.int32)))
+    with torch.no_grad():
+        timg = torch.from_numpy(img.transpose(0, 3, 1, 2))
+        want = ref(timg, length, torch.from_numpy(text), is_v_char=None,
+                   test=True)
+        # direction branch (only returned in train mode): run it manually
+        conv_raw = ref.encoder(timg)
+        want_dir = ref.direction_cls(ref.direction_extractor(conv_raw))
+    np.testing.assert_allclose(np.asarray(out["pred"]),
+                               want["pred"].numpy(), rtol=2e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["direction_logits"]),
+                               want_dir.numpy(), rtol=2e-3, atol=5e-4)
