@@ -393,8 +393,66 @@ def port_oictr(sd: Dict) -> Dict:
     return {"params": params, "batch_stats": {"encoder": enc_stats}}
 
 
+def _conv_bn_relu_seq(sd, prefix, idx):
+    """ACPM's conv{i}+bn{i}+relu triplets -> our ConvBNReLU tree."""
+    p, s = bn(sd, f"{prefix}.bn{idx}")
+    return ({"Conv_0": conv(sd, f"{prefix}.conv{idx}"), "BatchNorm_0": p},
+            {"BatchNorm_0": s})
+
+
+def port_acpm(sd: Dict) -> Dict:
+    """character-profile-matching/model/transformer.py:478-567 -> ACPM
+    (resnet encoder + radical decoder + counting heads)."""
+    sd = strip_module_prefix(sd)
+    # ACPM's ResNet = SLD's (narrow stages, stem pool only in forward)
+    enc_params, enc_stats = _ocr_resnet(sd, "encoder.", (3, 4, 6, 3))
+    params: Dict[str, Any] = {"encoder": enc_params}
+    stats: Dict[str, Any] = {"encoder": enc_stats}
+
+    params["embed"] = embedding(sd, "embedding_word.lut")
+    params["decoder"] = {
+        "self_attn": _mha(sd, "decoder.mask_multihead", "self"),
+        "ln1": torch_layernorm(sd, "decoder.mul_layernorm1"),
+        "cross_attn": _mha(sd, "decoder.multihead", "cross"),
+        "ln2": torch_layernorm(sd, "decoder.mul_layernorm2"),
+        "pff_w1": linear(sd, "decoder.pff.w_1"),
+        "pff_w2": linear(sd, "decoder.pff.w_2"),
+        "ln3": torch_layernorm(sd, "decoder.mul_layernorm3"),
+    }
+    params["generator"] = linear(sd, "generator_word.proj")
+
+    # radical counter: RSC_R conv1..3 + linear
+    rsc_r: Dict[str, Any] = {}
+    rsc_r_stats: Dict[str, Any] = {}
+    for i in range(3):
+        p, s = _conv_bn_relu_seq(sd, "RSC_R", i + 1)
+        rsc_r[f"conv{i}"] = p
+        rsc_r_stats[f"conv{i}"] = s
+    rsc_r["linear"] = linear(sd, "RSC_R.linear")
+    params["rsc_r"] = rsc_r
+    stats["rsc_r"] = rsc_r_stats
+
+    # stroke counter: shared CNN + N head (linear) + L head (2 convs+linear)
+    rsc_s: Dict[str, Any] = {}
+    rsc_s_stats: Dict[str, Any] = {}
+    for i in range(3):
+        p, s = _conv_bn_relu_seq(sd, "RSC_S.shared_CNN", i + 1)
+        rsc_s[f"shared{i}"] = p
+        rsc_s_stats[f"shared{i}"] = s
+    rsc_s["count_n"] = linear(sd, "RSC_S.count_n.linear")
+    for i in range(2):
+        p, s = _conv_bn_relu_seq(sd, "RSC_S.count_l", i + 1)
+        rsc_s[f"l_conv{i}"] = p
+        rsc_s_stats[f"l_conv{i}"] = s
+    rsc_s["count_l"] = linear(sd, "RSC_S.count_l.linear")
+    params["rsc_s"] = rsc_s
+    stats["rsc_s"] = rsc_s_stats
+    return {"params": params, "batch_stats": stats}
+
+
 PORTERS = {
     "tbsrn": port_tbsrn,
+    "acpm": port_acpm,
     "tsrn": port_tsrn,
     "crnn": port_crnn,
     "ocr_transformer": port_ocr_transformer,

@@ -354,3 +354,59 @@ def test_oictr_rec_path_port_parity():
                                want["pred"].numpy(), rtol=2e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(out["direction_logits"]),
                                want_dir.numpy(), rtol=2e-3, atol=5e-4)
+
+
+REF_ACPM = "/root/reference/character-profile-matching"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ACPM), reason="reference absent")
+def test_acpm_port_parity():
+    """ACPM decode + counting heads vs the reference (resnet encoder,
+    rn_loss L1, stn off — the config.py defaults)."""
+    from fudanocr_tpu.models.rec.acpm import ACPM
+    from fudanocr_tpu.utils.torch_port import port_acpm
+
+    import types
+    for name in ("torchvision", "torchvision.models",
+                 "torchvision.transforms", "lmdb"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    cwd = os.getcwd()
+    sys.path.insert(0, REF_ACPM)
+    os.chdir(REF_ACPM)
+    try:
+        for m in list(sys.modules):
+            if m == "model" or m.startswith("model.") \
+                    or m == "data" or m.startswith("data.") \
+                    or m in ("util", "config"):
+                sys.modules.pop(m, None)
+        import importlib
+        mod = importlib.import_module("model.transformer")
+        torch.manual_seed(17)
+        ref = mod.Transformer("radical").eval()
+    finally:
+        os.chdir(cwd)
+        sys.path.pop(0)
+
+    vocab = ref.word_n_class
+    ported = port_acpm(ref.state_dict())
+    ours = ACPM(vocab=vocab, encoder="resnet", rn_loss="L1", stn=False)
+
+    rng = np.random.default_rng(17)
+    img = rng.random((2, 32, 32, 3)).astype(np.float32)
+    text = rng.integers(0, vocab, (2, 4)).astype(np.int64)
+    length = torch.tensor([4, 4])
+
+    out = ours.apply(ported, jnp.asarray(img),
+                     jnp.asarray(text.astype(np.int32)))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)), length,
+                   torch.from_numpy(text), test=True)
+    np.testing.assert_allclose(np.asarray(out["pred"]),
+                               want["pred"].numpy(), rtol=2e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["r_num"]),
+                               want["r_num"].numpy(), rtol=2e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["s_num"]),
+                               want["s_num"].numpy(), rtol=2e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["s_len"]),
+                               want["s_len"].numpy(), rtol=2e-3, atol=5e-4)
