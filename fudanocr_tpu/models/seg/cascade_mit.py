@@ -32,6 +32,14 @@ import flax.linen as nn
 Dtype = Any
 
 
+def _flash_ok(q_shape, lk: int) -> bool:
+    """Dispatch gate for the Pallas attention in EfficientAttention: big
+    enough to pay off, aligned to the kernel's block/lane constraints."""
+    _, _, lq, hd = q_shape
+    return (lq >= 512 and lq % 256 == 0 and (lq <= 1024 or lq % 1024 == 0)
+            and lk >= 128 and lk % 128 == 0 and hd % 8 == 0 and hd <= 128)
+
+
 def drop_path(x: jax.Array, rate: float, deterministic: bool,
               rng=None) -> jax.Array:
     if deterministic or rate == 0.0:
@@ -104,10 +112,27 @@ class EfficientAttention(nn.Module):
         k = k.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
 
+        if attn_mask is None and _flash_ok(q.shape, k.shape[2]):
+            # unmasked large-crop path (stage 1 at 512^2 is 16k q tokens x
+            # sr-reduced kv): online-softmax Pallas kernel, no (Lq, Lkv)
+            # score matrix in HBM. Masked paths (det-guided V10) stay on
+            # XLA: their additive region masks are O(Lq x Lkv) by
+            # construction, so flash saves nothing there.
+            from fudanocr_tpu.ops.flash_attention import flash_mha
+            o = flash_mha(q, k, v)
+            o = o.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+            o = nn.Dense(c, dtype=self.dtype, name="proj")(o)
+            return o.reshape(b, h, w, c)
+
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
         s = s / math.sqrt(hd)
         if attn_mask is not None:
-            s = jnp.where(attn_mask, s, jnp.float32(-1e30))
+            # ADDITIVE float mask, broadcastable to (B, H, Lq, Lkv) — the
+            # torch nn.MultiheadAttention semantics the reference relies
+            # on (cascade_mit.py:4890-4896 adds -1e10 to suppressed
+            # pairs; a fully-suppressed row degrades to plain softmax
+            # because the constant cancels, and we must match that).
+            s = s + attn_mask.astype(jnp.float32)
         p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
         o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, h * w, c)

@@ -60,8 +60,62 @@ def _instance_labels_host(binary: np.ndarray) -> np.ndarray:
     return out
 
 
+def instance_labels_device(text_map: jax.Array,
+                           iters: Optional[int] = None) -> jax.Array:
+    """Pure-XLA connected-component labeling: per-pixel label = min linear
+    index of its 4-connected component, via iterated neighborhood-min
+    propagation (converges in <= component diameter steps; `iters`
+    defaults to H+W which covers non-serpentine text blobs).
+
+    Used where host callbacks are unavailable (the axon TPU tunnel
+    rejects pure_callback). Differs from the cv2 contour fill only on
+    regions with internal holes: cv2.drawContours(-1) paints holes with
+    the surrounding instance id, this keeps them background. Attention
+    masks depend only on label EQUALITY, so the partition — not the id
+    values — is what matters."""
+    b, h, w = text_map.shape
+    if iters is None:
+        iters = h + w
+    fg = text_map > 0
+    big = jnp.float32(h * w + 2)
+    idx = (jnp.arange(h * w, dtype=jnp.float32).reshape(1, h, w) + 1.0)
+    lab = jnp.where(fg, idx, big)
+
+    def body(_, lab):
+        n = jnp.minimum(
+            jnp.minimum(jnp.pad(lab, ((0, 0), (1, 0), (0, 0)),
+                                constant_values=big)[:, :-1],
+                        jnp.pad(lab, ((0, 0), (0, 1), (0, 0)),
+                                constant_values=big)[:, 1:]),
+            jnp.minimum(jnp.pad(lab, ((0, 0), (0, 0), (1, 0)),
+                                constant_values=big)[:, :, :-1],
+                        jnp.pad(lab, ((0, 0), (0, 0), (0, 1)),
+                                constant_values=big)[:, :, 1:]))
+        return jnp.where(fg, jnp.minimum(lab, n), big)
+
+    lab = jax.lax.fori_loop(0, iters, body, lab)
+    return jnp.where(fg, lab, 0.0)
+
+
+def _host_callbacks_supported() -> bool:
+    # The axon PJRT tunnel has no host send/recv, so pure_callback raises
+    # UNIMPLEMENTED. It reports platform 'tpu' like real TPU runtimes —
+    # only platform_version names axon.
+    try:
+        ver = getattr(jax.devices()[0].client, "platform_version", "")
+    except Exception:
+        return True
+    return "axon" not in ver
+
+
 def instance_labels(text_map: jax.Array) -> jax.Array:
-    """(B, H, W) float {0,1} -> (B, H, W) instance-id map via host OpenCV."""
+    """(B, H, W) float {0,1} -> (B, H, W) instance-id map.
+
+    Host OpenCV contour filling (the reference's exact algorithm,
+    cascade_mit.py:4943-4951) when the backend supports callbacks;
+    otherwise the device-side labeling above."""
+    if not _host_callbacks_supported():
+        return instance_labels_device(text_map)
     return jax.pure_callback(
         _instance_labels_host,
         jax.ShapeDtypeStruct(text_map.shape, jnp.float32),
@@ -69,29 +123,47 @@ def instance_labels(text_map: jax.Array) -> jax.Array:
         vmap_method="sequential")
 
 
+def nearest_resize_torch(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """(B, H, W) nearest resize with torch F.interpolate semantics
+    (src = floor(dst * in / out) — NOT jax's half-pixel centers), used so
+    the attention masks match calculate_mask's interpolate() exactly."""
+    b, h, w = x.shape
+    oh, ow = out_hw
+    iy = (jnp.arange(oh) * h) // oh
+    ix = (jnp.arange(ow) * w) // ow
+    return x[:, iy][:, :, ix]
+
+
 def region_attn_mask(region: jax.Array, hw: Tuple[int, int],
                      sr_ratio: int) -> jax.Array:
-    """(B, H0, W0) region ids -> (B, 1, Lq, Lkv) BOOLEAN keep-mask for the
-    efficient attention at resolution `hw` with K/V reduced by sr_ratio.
+    """(B, H0, W0) region ids -> (B, 1, Lq, Lkv) ADDITIVE float mask for
+    the efficient attention at resolution `hw` with K/V reduced by
+    sr_ratio.
 
-    Matches calculate_mask: pairs whose region ids are EQUAL are masked
-    out (additive -1e10 in the reference)."""
+    Matches calculate_mask (cascade_mit.py:4890-4896) exactly: pairs
+    whose region ids are EQUAL get -1e10 added to their score (the
+    reference suppresses same-region pairs; for a row whose pairs are all
+    suppressed the constant cancels in softmax, reproduced verbatim by
+    keeping the mask additive)."""
     b = region.shape[0]
     h, w = hw
-    rq = jax.image.resize(region, (b, h, w), "nearest").reshape(b, -1)
+    rq = nearest_resize_torch(region, (h, w)).reshape(b, -1)
     hk, wk = max(h // sr_ratio, 1), max(w // sr_ratio, 1)
-    rkv = jax.image.resize(region, (b, hk, wk), "nearest").reshape(b, -1)
+    rkv = nearest_resize_torch(region, (hk, wk)).reshape(b, -1)
     same = rq[:, :, None] == rkv[:, None, :]
-    return ~same[:, None, :, :]
+    return jnp.where(same, jnp.float32(-1e10),
+                     jnp.float32(0.0))[:, None, :, :]
 
 
 class _DetConvBN(nn.Module):
     features: int
+    use_bias: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="conv")(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=self.use_bias,
+                    dtype=self.dtype, name="conv")(x)
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, dtype=self.dtype, name="bn")(x)
 
@@ -164,10 +236,8 @@ class CascadeMiTDetGuided(nn.Module):
         # masks are non-differentiable in the reference too (the instance
         # map goes through numpy, the text map through .long())
         if det_gt is not None:
-            b0 = det_gt.shape[0]
-            text_map = jax.image.resize(
-                det_gt.astype(jnp.float32),
-                (b0, x1.shape[1], x1.shape[2]), "nearest")
+            text_map = nearest_resize_torch(
+                det_gt.astype(jnp.float32), (x1.shape[1], x1.shape[2]))
         else:
             text_map = jax.lax.stop_gradient(soft_argmax(det_logits))
         inst_map = instance_labels(text_map)
@@ -212,9 +282,12 @@ class CascadeMiTDetGuided(nn.Module):
                 "bilinear")
 
         def fuse(i, parts):
+            # V10's conv2..conv5 are Sequential(Conv bias=False, BN)
+            # (cascade_mit.py:4713-4728) — unlike the base variant's bare
+            # conv
             cat = jnp.concatenate(parts, axis=-1)
-            return nn.Conv(parts[0].shape[-1], (1, 1), use_bias=False,
-                           dtype=self.dtype, name=f"fuse{i}")(cat)
+            return _DetConvBN(parts[0].shape[-1], use_bias=False,
+                              dtype=self.dtype, name=f"fuse{i}")(cat, train)
 
         # cascade with the text/instance features injected (V10 forward)
         x4_ = stage(3, fuse(4, [x4, fused[3]]))

@@ -172,10 +172,42 @@ def flash_packed_supported(lq: int, lk: int, d: int, heads: int) -> bool:
             and d % heads == 0 and d <= 512 and (d // heads) % 8 == 0)
 
 
+@jax.custom_vjp
+def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Unmasked softmax(q k^T / sqrt(d)) v over (B, H, L, Dh) inputs.
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    recomputes the attention probabilities through plain XLA einsums (the
+    standard recompute-in-bwd trick — O(Lq x Lkv) transient, fine for the
+    sr-reduced K/V shapes this is dispatched on)."""
+    return _flash_mha_impl(q, k, v)
+
+
+def _flash_vjp_fwd(q, k, v):
+    return _flash_mha_impl(q, k, v), (q, k, v)
+
+
+def _flash_vjp_bwd(res, do):
+    q, k, v = res
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    do32 = do.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, do32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", do32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_mha.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array,
-              block_q: int = _BQ, block_k: int = _BK) -> jax.Array:
-    """Unmasked softmax(q k^T / sqrt(d)) v over (B, H, L, Dh) inputs."""
+def _flash_mha_impl(q: jax.Array, k: jax.Array, v: jax.Array,
+                    block_q: int = _BQ, block_k: int = _BK) -> jax.Array:
     interpret = jax.default_backend() == "cpu"  # tests run on CPU
     b, h, lq, d = q.shape
     lk = k.shape[2]

@@ -450,8 +450,168 @@ def port_acpm(sd: Dict) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _ln_std(sd, name):
+    """Standard torch nn.LayerNorm (weight, bias) -> flax LayerNorm."""
+    return {"scale": _np(sd[f"{name}.weight"]),
+            "bias": _np(sd[f"{name}.bias"])}
+
+
+def _seg_resnet_block(sd, prefix, has_short):
+    """cascade_mit.py:306-325 ResNetBlock -> our seg ResNetBlock tree."""
+    params = {"conv1": conv(sd, f"{prefix}.conv1"),
+              "conv2": conv(sd, f"{prefix}.conv2")}
+    stats = {}
+    for which in ("bn1", "bn2"):
+        p, s = bn(sd, f"{prefix}.{which}")
+        params[which] = p
+        stats[which] = s
+    if has_short:
+        params["short_conv"] = conv(sd, f"{prefix}.shortcut.0")
+        p, s = bn(sd, f"{prefix}.shortcut.1")
+        params["short_bn"] = p
+        stats["short_bn"] = s
+    return params, stats
+
+
+def _seg_encoder_layer(sd, prefix, sr_ratio):
+    """SegFormer TransformerEncoderLayer (cascade_mit.py:217-298) -> ours.
+
+    torch nn.MultiheadAttention's fused in_proj splits into our separate
+    q/k/v Dense kernels."""
+    in_w = _np(sd[f"{prefix}.attn.attn.in_proj_weight"])
+    in_b = _np(sd[f"{prefix}.attn.attn.in_proj_bias"])
+    d = in_w.shape[1]
+    attn = {
+        "q": {"kernel": in_w[:d].T, "bias": in_b[:d]},
+        "k": {"kernel": in_w[d:2 * d].T, "bias": in_b[d:2 * d]},
+        "v": {"kernel": in_w[2 * d:].T, "bias": in_b[2 * d:]},
+        "proj": linear(sd, f"{prefix}.attn.attn.out_proj"),
+    }
+    if sr_ratio > 1:
+        attn["sr"] = conv(sd, f"{prefix}.attn.sr")
+        attn["sr_norm"] = _ln_std(sd, f"{prefix}.attn.norm")
+    params = {
+        "norm1": _ln_std(sd, f"{prefix}.norm1"),
+        "attn": attn,
+        "norm2": _ln_std(sd, f"{prefix}.norm2"),
+        "ffn": {"fc1": conv(sd, f"{prefix}.ffn.layers.0"),
+                "pe_conv": conv(sd, f"{prefix}.ffn.layers.1"),
+                "fc2": conv(sd, f"{prefix}.ffn.layers.4")},
+    }
+    return params
+
+
+def _seg_stage(sd, i, num_layers, sr_ratio):
+    """One cascade level: layers.{i}.[0 patch_embed, 1 blocks, 2 norm]."""
+    params = {
+        "patch_embed": conv(sd, f"layers.{i}.0.projection"),
+        "patch_norm": _ln_std(sd, f"layers.{i}.0.norm"),
+        "norm": _ln_std(sd, f"layers.{i}.2"),
+    }
+    for j in range(num_layers):
+        params[f"layer{j}"] = _seg_encoder_layer(sd, f"layers.{i}.1.{j}",
+                                                 sr_ratio)
+    return params
+
+
+def _seg_stem_and_pyramid(sd, embed_dims, num_heads):
+    """conv1/bn1 stem + layer1..3 ResNet pairs (cascade_mit.py:454-472)."""
+    params: Dict[str, Any] = {"stem_conv": conv(sd, "conv1")}
+    stats: Dict[str, Any] = {}
+    p, s = bn(sd, "bn1")
+    params["stem_bn"] = p
+    stats["stem_bn"] = s
+    for li in range(3):
+        for bi in range(2):
+            # block 0 strides 2 -> always has a conv shortcut
+            bp, bs = _seg_resnet_block(sd, f"layer{li+1}.{bi}", bi == 0)
+            params[f"layer{li+1}_{bi}"] = bp
+            stats[f"layer{li+1}_{bi}"] = bs
+    return params, stats
+
+
+def port_cascade_mit(sd: Dict, embed_dims: int = 32,
+                     num_layers=(2, 2, 2, 2), num_heads=(1, 2, 5, 8),
+                     sr_ratios=(8, 4, 2, 1)) -> Dict:
+    """text-focused-Transformers/mmseg/models/backbones/cascade_mit.py:
+    329-524 CascadeMixVisionTransformer -> CascadeMiT variables.
+
+    conv2..conv5 are the top-down fusion 1x1 convs for levels 4..1 —
+    they map onto our fuse4..fuse1."""
+    sd = strip_module_prefix(sd)
+    params, stats = _seg_stem_and_pyramid(sd, embed_dims, num_heads)
+    for i in range(4):
+        params[f"stage{i}"] = _seg_stage(sd, i, num_layers[i], sr_ratios[i])
+    for i in range(4):
+        params[f"fuse{4 - i}"] = conv(sd, f"conv{2 + i}")
+    return {"params": params, "batch_stats": stats}
+
+
+def _conv_bn_seq(sd, prefix):
+    """Sequential(Conv2d, BatchNorm2d) -> our _DetConvBN {conv, bn}."""
+    p, s = bn(sd, f"{prefix}.1")
+    return {"conv": conv(sd, f"{prefix}.0"), "bn": p}, {"bn": s}
+
+
+def port_cascade_mit_v10(sd: Dict, embed_dims: int = 32,
+                         num_layers=(2, 2, 2, 2), num_heads=(1, 2, 5, 8),
+                         sr_ratios=(8, 4, 2, 1)) -> Dict:
+    """cascade_mit.py:4581-5131 CascadeMixVisionTransformer_V10 ->
+    CascadeMiTDetGuided variables (det head + dual masked SA + gates +
+    BN'd fusion convs)."""
+    sd = strip_module_prefix(sd)
+    params, stats = _seg_stem_and_pyramid(sd, embed_dims, num_heads)
+    for i in range(4):
+        params[f"stage{i}"] = _seg_stage(sd, i, num_layers[i], sr_ratios[i])
+    for i in range(4):  # conv2..5 here are Sequential(conv, bn)
+        p, s = _conv_bn_seq(sd, f"conv{2 + i}")
+        params[f"fuse{4 - i}"] = p
+        stats[f"fuse{4 - i}"] = s
+    for i in range(4):
+        p, s = _conv_bn_seq(sd, f"out_det_{i + 1}")
+        params[f"out_det_{i + 1}"] = p
+        stats[f"out_det_{i + 1}"] = s
+    p, s = _conv_bn_seq(sd, "fusion_conv")
+    params["fusion_conv"] = p
+    stats["fusion_conv"] = s
+    params["det_cls"] = conv(sd, "det_cls.0")
+    for i in range(4):
+        for ref_kind, our_kind in (("text", "text"), ("instance", "inst")):
+            params[f"{our_kind}_sa_{i + 1}"] = _seg_encoder_layer(
+                sd, f"{ref_kind}_sa_{i + 1}", sr_ratios[i])
+            p, s = bn(sd, f"{ref_kind}_sa_bn_{i + 1}")
+            params[f"{our_kind}_sa_bn_{i + 1}"] = p
+            stats[f"{our_kind}_sa_bn_{i + 1}"] = s
+        p, s = _conv_bn_seq(sd, f"fuse_text_instance_{i + 1}")
+        params[f"fuse_text_instance_{i + 1}"] = p
+        stats[f"fuse_text_instance_{i + 1}"] = s
+    return {"params": params, "batch_stats": stats}
+
+
+def port_segformer_head(sd: Dict, num_scales: int = 4) -> Dict:
+    """mmseg/models/decode_heads/segformer_head.py:92-147 (+ decode_head
+    cls_seg/conv_seg) -> SegformerHead variables."""
+    sd = strip_module_prefix(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(num_scales):
+        params[f"conv{i}"] = conv(sd, f"convs.{i}.conv")
+        p, s = bn(sd, f"convs.{i}.bn")
+        params[f"bn{i}"] = p
+        stats[f"bn{i}"] = s
+    params["fusion"] = conv(sd, "fusion_conv.conv")
+    p, s = bn(sd, "fusion_conv.bn")
+    params["fusion_bn"] = p
+    stats["fusion_bn"] = s
+    params["cls_seg"] = conv(sd, "conv_seg")
+    return {"params": params, "batch_stats": stats}
+
+
 PORTERS = {
     "tbsrn": port_tbsrn,
+    "cascade_mit": port_cascade_mit,
+    "cascade_mit_v10": port_cascade_mit_v10,
+    "segformer_head": port_segformer_head,
     "acpm": port_acpm,
     "tsrn": port_tsrn,
     "crnn": port_crnn,

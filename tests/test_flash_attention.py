@@ -53,3 +53,25 @@ def test_packed_kernel_matches_oracle():
     o = _oracle(split(q), split(k), split(v))
     want = np.asarray(o).transpose(0, 2, 1, 3).reshape(b, l, d)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_mha_gradients_match_xla():
+    """custom_vjp backward (XLA-recomputed probs) vs autodiff through the
+    plain einsum attention — needed because the seg train step
+    differentiates through EfficientAttention's flash path."""
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.standard_normal((1, 2, 512, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 128, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 128, 32)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return (flash_mha(q, k, v) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_oracle(q, k, v) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
