@@ -60,10 +60,14 @@ def main(argv=None):
         infer = jax.jit(lambda img: tta_inference(fwd, img,
                                                   scales=(0.75, 1.0, 1.25)))
         hist = np.zeros((4, cfg.model.decode_head.num_classes), np.float64)
-        for img, gt in eval_data.batches(cfg.data.batch_size):
-            probs = infer(jnp.asarray(img))
+        for batch in eval_data.batches(cfg.data.batch_size):
+            probs = infer(jnp.asarray(batch["img"]))
             pred = jnp.argmax(probs, -1)
-            stats = intersect_and_union(pred, jnp.asarray(gt),
+            gt = jnp.asarray(batch["gt_seg"])
+            if "valid" in batch:
+                gt = jnp.where(
+                    jnp.asarray(batch["valid"])[:, None, None] > 0, gt, 255)
+            stats = intersect_and_union(pred, gt,
                                         cfg.model.decode_head.num_classes)
             hist += np.stack([np.asarray(s) for s in stats])
         res = total_metrics(*hist)

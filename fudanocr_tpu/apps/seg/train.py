@@ -18,15 +18,6 @@ from fudanocr_tpu.core.config import load_config, merge_cli_overrides
 
 log = logging.getLogger("fudanocr_tpu.seg_app")
 
-DATASET_MAPPINGS = {
-    "textseg": "TEXTSEG_MAPPING",
-    "bts": "BTS_MAPPING",
-    "totaltext": "TOTALTEXT_MAPPING",
-    "icdar13": "ICDAR13_MAPPING",
-    "mlt": "MLT_MAPPING",
-}
-
-
 def build_data(cfg, train: bool):
     from fudanocr_tpu.data import seg_pipeline as pp
     from fudanocr_tpu.data.seg_dataset import SegDataset, SyntheticTextSeg
@@ -50,30 +41,39 @@ def build_data(cfg, train: bool):
         n = d.synthetic_samples
         pipe = [pp.Normalize()]  # keep synthetic geometry fixed
         return SyntheticTextSeg(n if train else max(n // 4, 4), size, pipe,
-                                seed=0 if train else 1)
-    mapping = getattr(pp, DATASET_MAPPINGS[d.dataset])
-    pipeline.insert(1, pp.LoadAnnotations(mapping))
+                                seed=0 if train else 1,
+                                with_det=bool(d.get("det_dir", "")
+                                              or cfg.model.get("det_guided")))
+    pipeline.insert(1, pp.LoadAnnotations(pp.REMAPS[d.dataset]))
     img_dir = d.img_dir if train else (d.val_img_dir or d.img_dir)
     ann_dir = d.ann_dir if train else (d.val_ann_dir or d.ann_dir)
-    return SegDataset(img_dir, ann_dir, pipeline)
+    return SegDataset(img_dir, ann_dir, pipeline,
+                      det_dir=(d.get("det_dir") or None))
 
 
 def build_model(cfg):
-    from fudanocr_tpu.models.seg import (CascadeMiT, CascadeMiTDetGuided,
-                                         DetGuidedEncoderDecoder,
-                                         EncoderDecoder, SegformerHead)
+    """Registry-driven (the reference's SEGMENTORS/BACKBONES/HEADS
+    registries, mmseg/models/builder.py): types are selectable via
+    model.{type,backbone.type,decode_head.type} with det-guided defaults
+    when model.det_guided is set."""
+    import fudanocr_tpu.models.seg  # noqa: F401  (registers components)
+    from fudanocr_tpu.core.registry import BACKBONES, HEADS, SEGMENTORS
 
+    det = cfg.model.get("det_guided", False)
     b = cfg.model.backbone
     h = cfg.model.decode_head
-    kw = dict(embed_dims=b.embed_dims, num_layers=tuple(b.num_layers),
-              num_heads=tuple(b.num_heads), sr_ratios=tuple(b.sr_ratios),
-              drop_path_rate=b.drop_path_rate)
-    head = SegformerHead(num_classes=h.num_classes, channels=h.channels,
-                         dropout_ratio=h.dropout_ratio)
-    if cfg.model.get("det_guided", False):
-        return DetGuidedEncoderDecoder(backbone=CascadeMiTDetGuided(**kw),
-                                       decode_head=head)
-    return EncoderDecoder(backbone=CascadeMiT(**kw), decode_head=head)
+    backbone = BACKBONES.get(
+        b.get("type", "CascadeMiTDetGuided" if det else "CascadeMiT"))(
+        embed_dims=b.embed_dims, num_layers=tuple(b.num_layers),
+        num_heads=tuple(b.num_heads), sr_ratios=tuple(b.sr_ratios),
+        drop_path_rate=b.drop_path_rate)
+    head = HEADS.get(h.get("type", "SegformerHead"))(
+        num_classes=h.num_classes, channels=h.channels,
+        dropout_ratio=h.dropout_ratio)
+    segmentor = SEGMENTORS.get(
+        cfg.model.get("type",
+                      "DetGuidedEncoderDecoder" if det else "EncoderDecoder"))
+    return segmentor(backbone=backbone, decode_head=head)
 
 
 def main(argv=None):
@@ -103,7 +103,11 @@ def main(argv=None):
         loss_weights=cfg.loss.to_dict(),
         crop=tuple(cfg.test.crop) if use_slide else None,
         stride=tuple(cfg.test.stride) if use_slide else None,
-        ckpt_dir=cfg.ckpt_dir)
+        ckpt_dir=cfg.ckpt_dir,
+        # train_cfg=dict(det_loss_ratio=0.1) in the reference det configs
+        det_loss_ratio=cfg.get("train_cfg", {}).get("det_loss_ratio", 0.1),
+        gt_guided_masks=cfg.get("train_cfg", {}).get("gt_guided_masks",
+                                                     False))
 
     if args.test_only:
         print(trainer.evaluate(0))

@@ -38,33 +38,78 @@ class LoadImageFromFile:
         return sample
 
 
-class LoadAnnotations:
-    """Load + remap the raw annotation map. `mapping` maps raw values to
-    class ids; unmapped values go to `default` (e.g. ignore=255)."""
+SEG_FIELDS = ("gt_seg", "gt_det")
 
-    def __init__(self, mapping: Optional[Dict[int, int]] = None,
-                 default: int = 0):
-        self.mapping = mapping
-        self.default = default
+
+class LoadAnnotations:
+    """Load + remap the raw annotation map, and load the det mask when the
+    sample has a `det_path` (the reference's det_prefix/`gt_det` loading,
+    loading.py:229-242: every dataset's det rule is 255 -> 1).
+
+    `remap` is a per-dataset value function over the raw array (see the
+    REMAPS table below, mirroring LoadAnnotations_{textseg,BTS,totaltext,
+    icdar13,mlt})."""
+
+    def __init__(self, remap: Optional[Callable] = None):
+        self.remap = remap
 
     def __call__(self, sample: Sample) -> Sample:
         if "gt_seg" not in sample and "seg_path" in sample:
             sample["gt_seg"] = np.asarray(Image.open(sample["seg_path"]))
-        if self.mapping is not None:
-            raw = sample["gt_seg"]
-            out = np.full_like(raw, self.default)
-            for src, dst in self.mapping.items():
-                out[raw == src] = dst
-            sample["gt_seg"] = out
+        if self.remap is not None:
+            sample["gt_seg"] = self.remap(np.asarray(sample["gt_seg"]))
+        if "gt_det" not in sample and sample.get("det_path"):
+            det = np.asarray(Image.open(sample["det_path"])).squeeze()
+            det = det.copy()
+            det[det == 255] = 1
+            sample["gt_det"] = det
         return sample
 
 
-# dataset-specific remaps (loading.py:229-262)
-TEXTSEG_MAPPING = {100: 1, 255: 255}     # bg=0, text=100->1, ignore=255
-BTS_MAPPING = {255: 1}
-TOTALTEXT_MAPPING = {255: 1}
-ICDAR13_MAPPING = {255: 1}
-MLT_MAPPING = {255: 1}
+def remap_textseg(seg: np.ndarray) -> np.ndarray:
+    """loading.py:221-223: 100 -> text, 200 -> bg; 255 stays (ignore)."""
+    out = seg.copy()
+    out[seg == 100] = 1
+    out[seg == 200] = 0
+    return out
+
+
+def remap_bts(seg: np.ndarray) -> np.ndarray:
+    """loading.py:313: 255 -> 1, everything else unchanged."""
+    out = seg.copy()
+    out[seg == 255] = 1
+    return out
+
+
+def remap_totaltext(seg: np.ndarray) -> np.ndarray:
+    """loading.py:407-408: grayscale threshold at 127."""
+    return (seg > 127).astype(np.uint8)
+
+
+def remap_icdar13(seg: np.ndarray) -> np.ndarray:
+    """loading.py:500-507: RGB annotation -> gray, 255 -> bg, >0 -> text."""
+    if seg.ndim == 3:
+        import cv2
+        seg = cv2.cvtColor(seg, cv2.COLOR_RGB2GRAY)
+    out = seg.copy()
+    out[seg == 255] = 0
+    out[(seg > 0) & (seg != 255)] = 1
+    return out
+
+
+def remap_mlt(seg: np.ndarray) -> np.ndarray:
+    """loading.py:595-600: no value remap (label_map only, unused)."""
+    return seg
+
+
+# dataset name -> remap function (loading.py per-dataset classes)
+REMAPS = {
+    "textseg": remap_textseg,
+    "bts": remap_bts,
+    "totaltext": remap_totaltext,
+    "icdar13": remap_icdar13,
+    "mlt": remap_mlt,
+}
 
 
 class Resize:
@@ -83,10 +128,11 @@ class Resize:
         h = max(int(self.img_scale[1] * ratio), 1)
         img = Image.fromarray(sample["img"]).resize((w, h), Image.BILINEAR)
         sample["img"] = np.asarray(img)
-        if "gt_seg" in sample:
-            seg = Image.fromarray(sample["gt_seg"]).resize((w, h),
-                                                           Image.NEAREST)
-            sample["gt_seg"] = np.asarray(seg)
+        for key in SEG_FIELDS:
+            if key in sample:
+                seg = Image.fromarray(sample[key]).resize((w, h),
+                                                          Image.NEAREST)
+                sample[key] = np.asarray(seg)
         return sample
 
 
@@ -121,8 +167,9 @@ class RandomCrop:
                     < self.cat_max_ratio:
                 break
         sample["img"] = img[y:y + ch, x:x + cw]
-        if seg is not None:
-            sample["gt_seg"] = seg[y:y + ch, x:x + cw]
+        for key in SEG_FIELDS:
+            if key in sample:
+                sample[key] = sample[key][y:y + ch, x:x + cw]
         return sample
 
 
@@ -135,8 +182,9 @@ class RandomFlip:
     def __call__(self, sample: Sample) -> Sample:
         if self.rng.random() < self.prob:
             sample["img"] = sample["img"][:, ::-1].copy()
-            if "gt_seg" in sample:
-                sample["gt_seg"] = sample["gt_seg"][:, ::-1].copy()
+            for key in SEG_FIELDS:
+                if key in sample:
+                    sample[key] = sample[key][:, ::-1].copy()
         return sample
 
 
@@ -198,8 +246,9 @@ class Pad:
         if ph or pw:
             sample["img"] = np.pad(sample["img"],
                                    ((0, ph), (0, pw), (0, 0)))
-            if "gt_seg" in sample:
-                sample["gt_seg"] = np.pad(
-                    sample["gt_seg"], ((0, ph), (0, pw)),
-                    constant_values=self.ignore_index)
+            for key in SEG_FIELDS:
+                if key in sample:
+                    sample[key] = np.pad(
+                        sample[key], ((0, ph), (0, pw)),
+                        constant_values=self.ignore_index)
         return sample

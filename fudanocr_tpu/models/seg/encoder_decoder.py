@@ -76,8 +76,9 @@ class DetGuidedEncoderDecoder(nn.Module):
     decode_head: nn.Module
     align_corners: bool = False
 
-    def __call__(self, img: jax.Array, train: bool = False):
-        feats, det_logits = self.backbone(img, train)
+    def __call__(self, img: jax.Array, train: bool = False,
+                 det_gt: Optional[jax.Array] = None):
+        feats, det_logits = self.backbone(img, train, det_gt=det_gt)
         logits = self.decode_head(feats, train)
         logits = jax.image.resize(
             logits, (logits.shape[0], img.shape[1], img.shape[2],

@@ -69,16 +69,42 @@ def make_seg_optimizer(params, base_lr: float = 6e-5,
 
 
 def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
-                        det_loss_ratio: float = 0.1):
+                        det_loss_ratio: float = 0.1,
+                        gt_guided_masks: bool = False):
+    """batch: {'img', 'gt_seg', optional 'gt_det', optional 'valid'}.
+
+    With a det-guided model and `gt_det` in the batch, the det logits
+    train against the LOADED det annotation at full resolution, exactly
+    as the reference: decode_head.forward_train unpacks (inputs, det_pred)
+    and adds det_loss_ratio x losses(det_pred, gt_det)
+    (decode_head.py:244-256; the head's losses() upsamples the 1/4-scale
+    det logits to the label size). Without `gt_det` no det loss is added
+    (reference plain configs). `gt_guided_masks=True` additionally feeds
+    gt_det into the backbone for attention-mask construction
+    (EncoderDecoder_V4's gt-threading, encoder_decoder.py:337); the
+    published *_det configs use predicted masks (V10), so it defaults off.
+    """
     loss_weights = loss_weights or {"ce": 1.0}
     batch_sharding = NamedSharding(mesh, P("data"))
 
-    def step(state: TrainState, img, gt, rng):
+    def step(state: TrainState, batch, rng):
+        img, gt = batch["img"], batch["gt_seg"]
+        gt_det = batch.get("gt_det")
+        valid = batch.get("valid")
+        if valid is not None:  # padded tail samples contribute no loss
+            vmask = valid[:, None, None] > 0
+            gt = jnp.where(vmask, gt, 255)
+            if gt_det is not None:
+                gt_det = jnp.where(vmask, gt_det, 255)
+
         def loss_of(params):
+            kwargs = {}
+            if gt_guided_masks and gt_det is not None:
+                kwargs["det_gt"] = jnp.where(gt_det == 255, 0, gt_det)
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 img, train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng})
+                rngs={"dropout": rng}, **kwargs)
             det_logits = None
             if isinstance(out, tuple):  # det-guided variant
                 logits, det_logits = out
@@ -86,17 +112,20 @@ def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
                 logits = out
             loss = 0.0
             aux = {}
-            if det_logits is not None:
-                # gt_det: the text mask at det resolution (the reference's
-                # gt_det files reduce to this for binary text seg); weight
-                # det_loss_ratio (decode_head.py:244-256, cfg 0.1)
-                b, dh, dw, _ = det_logits.shape
-                det_gt = jax.image.resize(
-                    jnp.where(gt == 255, 0, gt).astype(jnp.float32),
-                    (b, dh, dw), "nearest").astype(jnp.int32)
-                det_gt = jnp.where(det_gt > 0, 1, 0)
-                aux["det"] = cross_entropy_loss(det_logits, det_gt)
-                loss = loss + det_loss_ratio * aux["det"]
+            if det_logits is not None and gt_det is not None:
+                up = jax.image.resize(
+                    det_logits.astype(jnp.float32),
+                    (det_logits.shape[0], gt_det.shape[1], gt_det.shape[2],
+                     det_logits.shape[3]), "bilinear")
+                det_loss = 0.0
+                if loss_weights.get("ce"):
+                    det_loss += loss_weights["ce"] * cross_entropy_loss(
+                        up, gt_det)
+                if loss_weights.get("lovasz"):
+                    det_loss += loss_weights["lovasz"] * lovasz_softmax_loss(
+                        up, gt_det)
+                aux["det"] = det_loss
+                loss = loss + det_loss_ratio * det_loss
             if loss_weights.get("ce"):
                 aux["ce"] = cross_entropy_loss(logits, gt)
                 loss = loss + loss_weights["ce"] * aux["ce"]
@@ -111,8 +140,8 @@ def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         return new_state, {"loss": loss, **aux}
 
-    return jax.jit(step, in_shardings=(None, batch_sharding, batch_sharding,
-                                       None), donate_argnums=(0,))
+    return jax.jit(step, in_shardings=(None, batch_sharding, None),
+                   donate_argnums=(0,))
 
 
 class SegTrainer:
@@ -123,7 +152,8 @@ class SegTrainer:
                  crop: Optional[Tuple[int, int]] = None,
                  stride: Optional[Tuple[int, int]] = None,
                  ckpt_dir: Optional[str] = None, mesh=None, seed: int = 0,
-                 log_dir: Optional[str] = None):
+                 log_dir: Optional[str] = None, det_loss_ratio: float = 0.1,
+                 gt_guided_masks: bool = False):
         self.model = model
         self.train_data = train_data
         self.eval_data = eval_data
@@ -137,14 +167,16 @@ class SegTrainer:
         self.mesh = mesh or make_mesh_for_batch(batch_size)
         self.rng = jax.random.PRNGKey(seed)
 
-        img, _ = next(iter(train_data.batches(batch_size)))
-        variables = model.init(jax.random.PRNGKey(seed), jnp.asarray(img),
-                               train=True)
+        first = next(iter(train_data.batches(batch_size)))
+        variables = model.init(jax.random.PRNGKey(seed),
+                               jnp.asarray(first["img"]), train=True)
         tx = make_seg_optimizer(variables["params"], lr,
                                 total_iters=total_iters)
         self.state = TrainState.create(variables["params"],
                                        variables.get("batch_stats", {}), tx)
-        self.train_step = make_seg_train_step(model, self.mesh, loss_weights)
+        self.train_step = make_seg_train_step(
+            model, self.mesh, loss_weights, det_loss_ratio=det_loss_ratio,
+            gt_guided_masks=gt_guided_masks)
         self.best = -1.0
         self.metrics_logger = None
         if log_dir:
@@ -154,13 +186,14 @@ class SegTrainer:
     def train(self):
         it = 0
         while it < self.total_iters:
-            for img, gt in self.train_data.batches(self.batch_size,
-                                                   shuffle=True, seed=it):
+            for batch in self.train_data.batches(self.batch_size,
+                                                 shuffle=True, seed=it):
                 if it >= self.total_iters:
                     break
                 self.rng, rng = jax.random.split(self.rng)
                 self.state, metrics = self.train_step(
-                    self.state, jnp.asarray(img), jnp.asarray(gt), rng)
+                    self.state,
+                    {k: jnp.asarray(v) for k, v in batch.items()}, rng)
                 it += 1
                 if it % 50 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
@@ -187,11 +220,14 @@ class SegTrainer:
 
         infer = jax.jit(infer)
         hist = np.zeros((4, self.num_classes), np.float64)
-        for img, gt in self.eval_data.batches(self.batch_size):
-            logits = infer(jnp.asarray(img))
+        for batch in self.eval_data.batches(self.batch_size):
+            logits = infer(jnp.asarray(batch["img"]))
             pred = jnp.argmax(logits, axis=-1)
-            i, u, pa, la = intersect_and_union(pred, jnp.asarray(gt),
-                                               self.num_classes)
+            gt = jnp.asarray(batch["gt_seg"])
+            if "valid" in batch:  # padded tail samples count nothing
+                gt = jnp.where(
+                    jnp.asarray(batch["valid"])[:, None, None] > 0, gt, 255)
+            i, u, pa, la = intersect_and_union(pred, gt, self.num_classes)
             hist += np.stack([np.asarray(i), np.asarray(u), np.asarray(pa),
                               np.asarray(la)]).astype(np.float64)
         res = total_metrics(*hist)

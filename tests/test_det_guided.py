@@ -23,11 +23,53 @@ def test_region_attn_mask_semantics():
     from fudanocr_tpu.models.seg.det_guided import region_attn_mask
 
     region = jnp.asarray(np.array([[[0, 0], [1, 1]]], np.float32))
-    mask = region_attn_mask(region, (2, 2), 1)  # (1,1,4,4) keep-mask
+    mask = region_attn_mask(region, (2, 2), 1)  # (1,1,4,4) additive mask
     m = np.asarray(mask[0, 0])
-    # same-region pairs masked out (False), cross-region kept (True)
-    assert not m[0, 1] and not m[2, 3]   # same regions
-    assert m[0, 2] and m[1, 3]           # different regions
+    # same-region pairs get -1e10 added, cross-region pairs 0
+    # (calculate_mask, cascade_mit.py:4890-4896)
+    assert m[0, 1] == -1e10 and m[2, 3] == -1e10   # same regions
+    assert m[0, 2] == 0 and m[1, 3] == 0           # different regions
+
+
+def test_nearest_resize_matches_torch_semantics():
+    """floor(dst*in/out) indexing, not jax's half-pixel centers."""
+    from fudanocr_tpu.models.seg.det_guided import nearest_resize_torch
+
+    x = jnp.arange(8, dtype=jnp.float32).reshape(1, 2, 4)
+    out = np.asarray(nearest_resize_torch(x, (1, 2)))
+    # torch F.interpolate nearest picks src floor(i*4/2) = {0, 2}, row 0
+    np.testing.assert_array_equal(out, [[[0.0, 2.0]]])
+
+
+def test_det_guided_train_step_uses_loaded_gt_masks():
+    """End-to-end: det-guided trainer with gt_det coming from the LOADED
+    dataset annotations (not synthesized from seg gt), both as det-loss
+    target (decode_head.py:244-256) and, with gt_guided_masks, threaded
+    into the backbone's attention-mask construction
+    (encoder_decoder.py:337 V4 semantics)."""
+    from fudanocr_tpu.data.seg_dataset import SyntheticTextSeg
+    from fudanocr_tpu.data.seg_pipeline import Normalize
+    from fudanocr_tpu.models.seg import (CascadeMiTDetGuided,
+                                         DetGuidedEncoderDecoder,
+                                         SegformerHead)
+    from fudanocr_tpu.train.seg import SegTrainer
+
+    data = SyntheticTextSeg(num_samples=4, size=(32, 32),
+                            pipeline=[Normalize()], with_det=True)
+    assert "gt_det" in data[0]
+    model = DetGuidedEncoderDecoder(
+        backbone=CascadeMiTDetGuided(embed_dims=8, num_layers=(1, 1, 1, 1),
+                                     drop_path_rate=0.0),
+        decode_head=SegformerHead(num_classes=2, channels=16))
+    trainer = SegTrainer(model, data, data, batch_size=2, total_iters=2,
+                         eval_every=10 ** 9, gt_guided_masks=True)
+    state = trainer.train()
+    batch = next(data.batches(2))
+    _, metrics = trainer.train_step(
+        state, {k: jnp.asarray(v) for k, v in batch.items()},
+        jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "det" in metrics and np.isfinite(float(metrics["det"]))
 
 
 def test_det_guided_backbone_shapes():
@@ -49,3 +91,27 @@ def test_det_guided_backbone_shapes():
     vs2 = seg.init(jax.random.PRNGKey(1), x)
     logits, det2 = seg.apply(vs2, x)
     assert logits.shape == (1, 64, 64, 2) and det2.shape == (1, 16, 16, 2)
+
+
+def test_device_instance_labels_match_cv2_partition():
+    """The XLA fallback (for backends without host callbacks, e.g. the
+    axon TPU tunnel) must induce the same component PARTITION as the cv2
+    path on hole-free regions — masks only use label equality."""
+    from fudanocr_tpu.models.seg.det_guided import (_instance_labels_host,
+                                                    instance_labels_device)
+
+    rng = np.random.default_rng(3)
+    binary = np.zeros((2, 24, 24), np.int32)
+    binary[0, 2:6, 3:9] = 1
+    binary[0, 10:15, 12:20] = 1
+    binary[0, 20:22, 0:4] = 1
+    binary[1, 5:9, 5:9] = 1
+    want = _instance_labels_host(binary)
+    got = np.asarray(instance_labels_device(jnp.asarray(binary, jnp.float32)))
+    # same partition: the pairwise-equality matrices agree
+    for b in range(2):
+        w = want[b].reshape(-1)
+        g = got[b].reshape(-1)
+        np.testing.assert_array_equal(
+            (w[:, None] == w[None, :]), (g[:, None] == g[None, :]))
+    assert (got[binary == 0] == 0).all()

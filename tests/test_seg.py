@@ -68,18 +68,86 @@ def test_slide_inference_equals_whole_on_single_crop():
 
 def test_pipeline_label_remap_and_pad():
     from fudanocr_tpu.data.seg_pipeline import (LoadAnnotations, Pad,
-                                                TEXTSEG_MAPPING)
+                                                remap_textseg)
 
-    seg = np.asarray([[0, 100], [255, 0]], np.uint8)
-    out = LoadAnnotations(TEXTSEG_MAPPING)({"img": np.zeros((2, 2, 3),
-                                                            np.uint8),
-                                            "gt_seg": seg})
+    seg = np.asarray([[0, 100], [255, 200]], np.uint8)
+    out = LoadAnnotations(remap_textseg)({"img": np.zeros((2, 2, 3),
+                                                          np.uint8),
+                                          "gt_seg": seg})
     np.testing.assert_array_equal(out["gt_seg"], [[0, 1], [255, 0]])
 
     padded = Pad((4, 4))(out)
     assert padded["img"].shape == (4, 4, 3)
     assert padded["gt_seg"].shape == (4, 4)
     assert padded["gt_seg"][3, 3] == 255  # pad with ignore
+
+
+def test_dataset_remaps_match_reference_rules():
+    """Per-dataset value rules from loading.py: textseg 100->1/200->0
+    (:221-223), BTS 255->1 (:313), TotalText threshold 127 (:407-408),
+    ICDAR13 gray+255->0,>0->1 (:500-507), MLT identity (:595-600)."""
+    from fudanocr_tpu.data import seg_pipeline as pp
+
+    np.testing.assert_array_equal(
+        pp.remap_textseg(np.asarray([[0, 100, 200, 255, 7]], np.uint8)),
+        [[0, 1, 0, 255, 7]])
+    np.testing.assert_array_equal(
+        pp.remap_bts(np.asarray([[0, 255, 3]], np.uint8)), [[0, 1, 3]])
+    np.testing.assert_array_equal(
+        pp.remap_totaltext(np.asarray([[0, 127, 128, 255]], np.uint8)),
+        [[0, 0, 1, 1]])
+    # icdar13: white (255 gray) is BACKGROUND, any other nonzero is text
+    rgb = np.zeros((1, 3, 3), np.uint8)
+    rgb[0, 0] = (255, 255, 255)   # white -> gray 255 -> 0
+    rgb[0, 1] = (30, 30, 30)      # dark gray -> text
+    rgb[0, 2] = (0, 0, 0)         # black -> 0
+    np.testing.assert_array_equal(pp.remap_icdar13(rgb), [[0, 1, 0]])
+    np.testing.assert_array_equal(
+        pp.remap_mlt(np.asarray([[0, 9, 255]], np.uint8)), [[0, 9, 255]])
+
+
+def test_det_annotation_loading_and_geometry(tmp_path):
+    """det masks load with the 255->1 rule (loading.py:229-242) and follow
+    the image through crop/flip/pad."""
+    from PIL import Image
+    from fudanocr_tpu.data import seg_pipeline as pp
+    from fudanocr_tpu.data.seg_dataset import SegDataset
+
+    for d in ("img", "ann", "det"):
+        (tmp_path / d).mkdir()
+    img = np.zeros((8, 8, 3), np.uint8)
+    seg = np.zeros((8, 8), np.uint8)
+    seg[2, 2] = 100
+    det = np.zeros((8, 8), np.uint8)
+    det[:4, :4] = 255
+    Image.fromarray(img).save(tmp_path / "img" / "a.jpg")
+    Image.fromarray(seg).save(tmp_path / "ann" / "a.png")
+    Image.fromarray(det).save(tmp_path / "det" / "a.png")
+
+    ds = SegDataset(str(tmp_path / "img"), str(tmp_path / "ann"),
+                    [pp.LoadImageFromFile(),
+                     pp.LoadAnnotations(pp.remap_textseg),
+                     pp.Pad((16, 16))],
+                    det_dir=str(tmp_path / "det"))
+    s = ds[0]
+    assert s["gt_det"].shape == (16, 16)
+    assert s["gt_det"][:4, :4].max() == 1 and s["gt_det"][0, 7] == 0
+    assert s["gt_det"][15, 15] == 255  # padded with ignore
+    batch = next(ds.batches(1))
+    assert set(batch) >= {"img", "gt_seg", "gt_det", "valid"}
+
+
+def test_batches_cover_every_sample_with_padding():
+    """Eval must not drop the tail (mmseg/apis/test.py covers all images):
+    the final partial batch is padded and flagged via `valid`."""
+    from fudanocr_tpu.data.seg_dataset import SyntheticTextSeg
+
+    ds = SyntheticTextSeg(num_samples=5, size=(16, 16))
+    batches = list(ds.batches(2))
+    assert len(batches) == 3
+    assert sum(int(b["valid"].sum()) for b in batches) == 5
+    assert batches[-1]["valid"].tolist() == [1.0, 0.0]
+    assert batches[-1]["img"].shape[0] == 2  # static shape preserved
 
 
 def test_cascade_mit_pyramid_shapes():
@@ -103,3 +171,26 @@ def test_seg_app_smoke():
               "schedule.eval_every=1000000", "data.batch_size=2",
               "data.synthetic_samples=4",
               "model.backbone.num_layers=[1,1,1,1]", f"ckpt_dir={tmp}"])
+
+
+def test_config_family_loads_and_builds():
+    """Every textformer preset (b0-b5 x 5 datasets x +-det, mirroring
+    configs/textformer/*.py) resolves its _base_ chain and builds a
+    model."""
+    import glob
+    from fudanocr_tpu.apps.seg.train import build_model
+    from fudanocr_tpu.core.config import load_config
+
+    presets = sorted(glob.glob("configs/seg/textformer_*.yaml"))
+    assert len(presets) == 60
+    seen = set()
+    for path in presets:
+        cfg = load_config(path)
+        model = build_model(cfg)
+        det = cfg.model.get("det_guided", False)
+        assert det == path.endswith("_det.yaml")
+        assert cfg.schedule.total_iters == (320_000 if det else 160_000)
+        seen.add((cfg.model.backbone.embed_dims,
+                  tuple(cfg.model.backbone.num_layers)))
+        assert model is not None
+    assert (32, (2, 2, 2, 2)) in seen and (64, (3, 6, 40, 3)) in seen
