@@ -50,6 +50,12 @@ def make_mesh_for_batch(batch_size: int,
         devices = jax.devices()
     n = len(devices)
     data = math.gcd(n, batch_size)
+    if data < n:
+        import logging
+        logging.getLogger("fudanocr_tpu.mesh").warning(
+            "batch %d does not divide across %d devices: using %d, "
+            "leaving %d idle — pad the batch to a multiple of %d to use "
+            "all devices", batch_size, n, data, n - data, n)
     return make_mesh(devices[:data], data=data, model=1)
 
 

@@ -1,0 +1,73 @@
+"""Multi-host (multi-process) execution: setup_distributed +
+host_shard_indices driven end to end by TWO real processes over the
+jax.distributed coordinator on localhost CPU — the evidence for the DDP
+row (replaces torch.distributed.launch + NCCL process groups,
+text-focused-Transformers/tools/train.py:150-159).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fudanocr_tpu.core.mesh import (host_shard_indices, local_batch_size,
+                                    make_mesh, setup_distributed)
+
+pid, port = int(sys.argv[1]), sys.argv[2]
+idx = setup_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+assert idx == pid and jax.process_count() == 2
+assert len(jax.devices()) == 2  # one CPU device contributed per process
+
+mesh = make_mesh(jax.devices(), data=2, model=1)
+sharding = NamedSharding(mesh, P("data"))
+
+# each process contributes its own batch shard (the DistributedSampler
+# replacement), then one jit with a cross-process reduction
+local = np.full((1, 4), float(pid + 1), np.float32)
+arr = jax.make_array_from_process_local_data(sharding, local, (2, 4))
+total = jax.jit(lambda x: x.sum(),
+                out_shardings=NamedSharding(mesh, P()))(arr)
+got = float(jax.device_get(total.addressable_shards[0].data))
+assert got == 12.0, got  # (1 + 2) * 4 summed ACROSS processes
+
+assert local_batch_size(32, mesh) == 16
+mine = set(host_shard_indices(100, batch_size=10))
+print(f"WORKER_OK {pid} {got} {sorted(mine)}", flush=True)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"),
+                    reason="needs CPU backend")
+def test_two_process_distributed_psum(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("XLA_FLAGS", None)  # one device per process
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), str(port)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, text=True, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}\n{err}"
+        assert f"WORKER_OK {i}" in out
+
+    # the two processes' index stripes are disjoint and interleaved
+    stripes = [eval(o.split(f"WORKER_OK {i} 12.0 ")[1].strip())
+               for i, (o, _) in enumerate(outs)]
+    assert stripes[0] == list(range(0, 100, 20))
+    assert stripes[1] == list(range(10, 100, 20))
