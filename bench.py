@@ -8,10 +8,11 @@ hidden_units=32), bf16 compute.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-`vs_baseline` is measured images/sec divided by REF_GPU_FPS, a documented
-estimate of the reference PyTorch TBSRN on one V100-class GPU (the repo
-stores no absolute number — see BASELINE.md). The driver's north-star is
-vs_baseline >= 5.
+`vs_baseline` is measured images/sec divided by REF_GPU_FPS, an estimate
+of the reference PyTorch TBSRN on one V100-class GPU anchored by a
+measurement of the reference model on this host's CPU (0.90 img/s,
+1 core) and a FLOP-based scaling chain — see "REF_GPU_FPS derivation" in
+BASELINE.md. The driver's north-star is vs_baseline >= 5.
 """
 
 import json
