@@ -1,0 +1,125 @@
+"""Segmentation-stack benchmark: CascadeMiT-B0 + SegFormer head on TPU.
+
+Two numbers, mirroring the reference's own recipes:
+  * train step at 512^2 crops (textseg train pipeline crop,
+    configs/_base_/datasets/textseg.py) — images/sec/chip + MFU;
+  * slide inference, crop 1024^2 / stride 768^2 over a 1024x2048 canvas
+    (test_cfg of every textformer config,
+    configs/textformer/*_det.py:49-75) — images/sec/chip + MFU.
+
+MFU = (XLA cost-analysis flops per step) / elapsed / PEAK_BF16. The
+reference's only citable in-repo seg latency is upstream SegFormer-B0 at
+26.2 ms/im on V100 fp32 bs1 (text-focused-Transformers/configs/segformer/
+segformer.yml:18-38); vs_baseline divides our slide-inference rate by
+that (1/0.0262 = 38.2 img/s). See BASELINE.md.
+
+Prints one JSON line per metric. bench.py (the driver's contract) stays
+TBSRN-only; this file is the seg-stack counterpart.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+PEAK_BF16 = 197e12          # TPU v5e (v5 lite) peak bf16 FLOP/s
+REF_V100_SEG_FPS = 38.2     # 26.2 ms/im SegFormer-B0 (segformer.yml:18-38)
+TRAIN_BATCH = 2
+TRAIN_ITERS = 8
+INFER_ITERS = 8
+
+
+def _flops(jitted, *args) -> float:
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _timed(jitted, args, iters) -> float:
+    out = jitted(*args)
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+        else x, out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jitted(*args)
+    # one host fetch bounds device completion (axon tunnel: block_until_
+    # ready alone is unreliable, see bench.py)
+    jnp.asarray(jax.tree_util.tree_leaves(out)[0]).mean().item()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from fudanocr_tpu.models.seg import (CascadeMiT, EncoderDecoder,
+                                         SegformerHead)
+    from fudanocr_tpu.core.mesh import make_mesh_for_batch
+    from fudanocr_tpu.models.seg.encoder_decoder import slide_inference
+    from fudanocr_tpu.train.seg import make_seg_optimizer, make_seg_train_step
+    from fudanocr_tpu.train.state import TrainState
+
+    model = EncoderDecoder(
+        backbone=CascadeMiT(embed_dims=32, num_layers=(2, 2, 2, 2),
+                            dtype=jnp.bfloat16),
+        decode_head=SegformerHead(num_classes=2, channels=256,
+                                  dtype=jnp.bfloat16))
+
+    # ---- train step @ 512^2 ----
+    img = jax.random.uniform(jax.random.PRNGKey(0),
+                             (TRAIN_BATCH, 512, 512, 3), jnp.float32)
+    gt = jnp.zeros((TRAIN_BATCH, 512, 512), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(1), img, train=True)
+    mesh = make_mesh_for_batch(TRAIN_BATCH)
+    tx = make_seg_optimizer(variables["params"])
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    step = make_seg_train_step(model, mesh,
+                               {"ce": 1.0, "lovasz": 1.0})
+    batch = {"img": img, "gt_seg": gt}
+    rng = jax.random.PRNGKey(2)
+    state, _ = step(state, batch, rng)  # compile
+
+    tflops = _flops(step, state, batch, rng)
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        state, metrics = step(state, batch, rng)
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / TRAIN_ITERS
+    print(json.dumps({
+        "metric": "cascade_mit_b0_512_train",
+        "value": round(TRAIN_BATCH / dt, 2),
+        "unit": "images/sec/chip",
+        "ms_per_step": round(dt * 1e3, 1),
+        "mfu": round(tflops / dt / PEAK_BF16, 4) if tflops else None,
+        "vs_baseline": None,
+    }))
+
+    # ---- slide inference, crop 1024^2 stride 768^2, canvas 1024x2048 ----
+    ivars = {"params": state.params, "batch_stats": state.batch_stats}
+    big = jax.random.uniform(jax.random.PRNGKey(3), (1, 1024, 2048, 3),
+                             jnp.float32)
+
+    def infer(img):
+        return slide_inference(lambda p: model.apply(ivars, p), img,
+                               (1024, 1024), (768, 768))
+
+    jinfer = jax.jit(infer)
+    iflops = _flops(jinfer, big)
+    dt = _timed(jinfer, (big,), INFER_ITERS)
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "cascade_mit_b0_slide1024_inference",
+        "value": round(fps, 2),
+        "unit": "images/sec/chip (1024x2048 canvas)",
+        "ms_per_image": round(dt * 1e3, 1),
+        "mfu": round(iflops / dt / PEAK_BF16, 4) if iflops else None,
+        "vs_baseline": round(fps / REF_V100_SEG_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""TBSRN TRAIN-step throughput on TPU (the flagship training workload).
+
+Reference recipe: batch 512 over 4 GPUs = 128/device, Adam 1e-4 (b1 0.5),
+loss x100, clip 0.25, text-focus loss with the frozen transformer oracle
+(scene-text-telescope/config/super_resolution.yaml:8-18,
+interfaces/super_resolution.py:79-84). This runs the same per-chip
+shape — batch 128, LR 16x64 -> HR 32x128, bf16 compute — end to end
+(forward + both oracle forwards + backward + update) and reports
+images/sec/chip + MFU so train-side perf is comparable across rounds.
+
+Prints one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+PEAK_BF16 = 197e12  # v5e peak
+BATCH = 128
+ITERS = 10
+
+
+def main():
+    from fudanocr_tpu.core.mesh import make_mesh
+    from fudanocr_tpu.losses.sr_losses import TextFocusLoss, encode_text_labels
+    from fudanocr_tpu.models.rec.ocr_transformer import OCRTransformer
+    from fudanocr_tpu.models.sr import TBSRN
+    from fudanocr_tpu.train.sr import make_sr_train_step
+    from fudanocr_tpu.train.state import TrainState, adam_with_clip
+
+    model = TBSRN(scale_factor=2, width=128, height=32, stn=True,
+                  srb_nums=5, hidden_units=32, dtype=jnp.bfloat16)
+    lr = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, 16, 64, 3))
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 32, 128, 3))
+    variables = model.init(jax.random.PRNGKey(2), lr, train=True)
+
+    # frozen text-focus oracle at the reference scale (loss/transformer.py:
+    # 348: ResNet [1,2,5,3], d=1024, 16 heads)
+    oracle = OCRTransformer(vocab=37, num_in=1, layers=(1, 2, 5, 3),
+                            num_heads=16, dtype=jnp.bfloat16)
+    text_input, text_gt, lengths = encode_text_labels(["bench"] * BATCH, 16)
+    oracle_vars = oracle.init(jax.random.PRNGKey(3),
+                              jnp.ones((BATCH, 32, 128, 1)),
+                              jnp.asarray(text_input))
+    loss_fn = TextFocusLoss(oracle, oracle_vars, text_focus=True)
+
+    mesh = make_mesh(jax.devices()[:1], data=1, model=1)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}),
+                              adam_with_clip(1e-4))
+    step = make_sr_train_step(model, loss_fn, mesh)
+    batch = {"hr": hr, "lr": lr,
+             "text_input": jnp.asarray(text_input),
+             "text_gt": jnp.asarray(text_gt),
+             "lengths": jnp.asarray(lengths)}
+    rng = jax.random.PRNGKey(4)
+
+    state, metrics = step(state, batch, rng)  # compile
+    float(metrics["loss"])
+
+    try:
+        cost = step.lower(state, batch, rng).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:
+        flops = 0.0
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch, rng)
+    float(metrics["loss"])  # host fetch bounds device completion
+    dt = (time.perf_counter() - t0) / ITERS
+
+    print(json.dumps({
+        "metric": "tbsrn_textzoom_train_step",
+        "value": round(BATCH / dt, 1),
+        "unit": "images/sec/chip",
+        "ms_per_step": round(dt * 1e3, 1),
+        "mfu": round(flops / dt / PEAK_BF16, 4) if flops else None,
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,12 @@ DEFAULT_CONFIG = Config({
     "ckpt_dir": "./ckpt/sld",
     "max_len": 30,
     "synthetic_samples": 64,
+    # reference model scale (transformer.py:77: ResNet [3,4,6,3]); smoke
+    # tests override to a tiny encoder to keep CI fast
+    "encoder_layers": [3, 4, 6, 3],
+    "d_embed": 512,
+    "d_model": 1024,
+    "d_ff": 2048,
 })
 
 STROKE_ALPHABET = "<12345$"
@@ -153,8 +159,9 @@ def main(argv=None):
 
     codec, rectifier, train_data, test_data = build_codec_and_data(cfg)
     model = OCRTransformer(vocab=codec.num_classes, num_in=3,
-                           layers=(3, 4, 6, 3), num_heads=4,
-                           stage1_pool=False)
+                           layers=tuple(cfg.encoder_layers), num_heads=4,
+                           d_embed=cfg.d_embed, d_model=cfg.d_model,
+                           d_ff=cfg.d_ff, stage1_pool=False)
 
     trainer = CTRTrainer(model, codec, train_data, test_data,
                          batch_size=cfg.batch, lr=cfg.lr,

@@ -68,6 +68,67 @@ def make_seg_optimizer(params, base_lr: float = 6e-5,
         head_labels(params))
 
 
+def layer_id_for_param(path: str, num_layers) -> int:
+    """Depth index of a CascadeMiT param subtree for layer-wise lr decay.
+
+    Mirrors the role of LearningRateDecayOptimizerConstructor's
+    get_layer_id_* (mmseg/core/optimizers/layer_decay_optimizer_
+    constructor.py): embeddings/stem -> 0, conv pyramid stages 1..3,
+    transformer stages by cumulative block index, everything else (head,
+    fusion convs) -> max+1."""
+    total = sum(num_layers)
+    parts = path.split("/")
+    top = parts[0]
+    if top.startswith("stem"):
+        return 0
+    if top.startswith("layer") and "_" in top:  # layer{1..3}_{b}
+        return int(top[5])
+    if top.startswith("stage"):
+        stage = int(top[5:])
+        off = 3 + sum(num_layers[:stage])
+        for p in parts[1:]:
+            if p.startswith("layer"):
+                return off + int(p[5:])
+        return off  # patch embed / final norm of the stage
+    return 3 + total + 1
+
+
+def make_layer_decay_optimizer(params, base_lr: float = 6e-5,
+                               weight_decay: float = 0.01,
+                               total_iters: int = 160_000,
+                               decay_rate: float = 0.9,
+                               num_layers=(2, 2, 2, 2)):
+    """Layer-wise lr decay: scale = decay_rate^(max_id - layer_id)
+    (layer_decay_optimizer_constructor.py:162), AdamW + poly schedule,
+    no decay on 1-D params."""
+    sched = poly_schedule(base_lr, total_iters)
+    max_id = 3 + sum(num_layers) + 1
+
+    def decay_mask(tree):
+        return jax.tree_util.tree_map(lambda p: p.ndim > 1, tree)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    ids = sorted({layer_id_for_param(
+        "/".join(str(k.key) for k in path), num_layers)
+        for path, _ in flat})
+
+    def labels(tree):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        lab = [f"l{layer_id_for_param('/'.join(str(k.key) for k in p), num_layers)}"
+               for p, _ in flat]
+        return jax.tree_util.tree_unflatten(treedef, lab)
+
+    def adamw(mult):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=decay_mask),
+            optax.scale_by_adam(b1=0.9, b2=0.999),
+            optax.scale_by_schedule(lambda s: -mult * sched(s)),
+        )
+
+    return optax.multi_transform(
+        {f"l{i}": adamw(decay_rate ** (max_id - i)) for i in ids}, labels)
+
+
 def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
                         det_loss_ratio: float = 0.1,
                         gt_guided_masks: bool = False):

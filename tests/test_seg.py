@@ -194,3 +194,61 @@ def test_config_family_loads_and_builds():
                   tuple(cfg.model.backbone.num_layers)))
         assert model is not None
     assert (32, (2, 2, 2, 2)) in seen and (64, (3, 6, 40, 3)) in seen
+
+
+def test_layer_decay_optimizer_scales():
+    """Layer-wise lr decay ladder (layer_decay_optimizer_constructor.py:
+    162): deeper layers get larger multipliers, head largest."""
+    import jax
+    from fudanocr_tpu.train.seg import (layer_id_for_param,
+                                        make_layer_decay_optimizer)
+
+    nl = (1, 1, 1, 1)
+    assert layer_id_for_param("stem_conv/kernel", nl) == 0
+    assert layer_id_for_param("layer1_0/conv1/kernel", nl) == 1
+    assert layer_id_for_param("layer3_1/bn2/scale", nl) == 3
+    assert layer_id_for_param("stage0/layer0/attn/q/kernel", nl) == 3
+    assert layer_id_for_param("stage0/patch_embed/kernel", nl) == 3
+    s3 = layer_id_for_param("stage3/layer0/ffn/fc1/kernel", nl)
+    assert s3 == 3 + 3
+    assert layer_id_for_param("fuse4/kernel", nl) == 3 + 4 + 1
+
+    from fudanocr_tpu.models.seg import CascadeMiT
+    m = CascadeMiT(embed_dims=8, num_layers=nl)
+    vs = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    tx = make_layer_decay_optimizer(vs["params"], num_layers=nl)
+    state = tx.init(vs["params"])  # builds without error over the real tree
+    assert state is not None
+
+
+def test_neck_shapes():
+    """FPN/MultiLevel/MLA/JPU/IC necks produce the documented pyramids."""
+    from fudanocr_tpu.models.seg.necks import (FPN, ICNeck, JPU, MLANeck,
+                                               MultiLevelNeck)
+
+    rng = np.random.default_rng(7)
+    pyr = [jnp.asarray(rng.random((1, 16 // (2 ** i), 16 // (2 ** i), c)),
+                       jnp.float32) for i, c in enumerate((8, 16, 32))]
+    for neck, n_out in ((FPN(out_channels=8), 3),
+                        (MultiLevelNeck(out_channels=8, scales=(1, 2, 4)), 3),
+                        (JPU(mid_channels=8), 3), (ICNeck(out_channels=8), 3)):
+        vs = neck.init(jax.random.PRNGKey(0), pyr, train=False)
+        outs = neck.apply(vs, pyr, train=False)
+        assert len(outs) == n_out, type(neck).__name__
+    # MLA aggregates SAME-resolution ViT outputs (SETR), unlike the others
+    same = [jnp.asarray(rng.random((1, 8, 8, c)), jnp.float32)
+            for c in (8, 16, 32)]
+    mla = MLANeck(out_channels=8)
+    vs = mla.init(jax.random.PRNGKey(0), same, train=False)
+    outs = mla.apply(vs, same, train=False)
+    assert len(outs) == 3 and all(o.shape == (1, 8, 8, 8) for o in outs)
+    # JPU: last output = concat of 4 dilated branches at the finest scale
+    jpu = JPU(mid_channels=8)
+    vs = jpu.init(jax.random.PRNGKey(0), pyr)
+    outs = jpu.apply(vs, pyr)
+    assert outs[-1].shape == (1, 16, 16, 32)
+    # IC: decode output at the finest scale
+    ic = ICNeck(out_channels=8)
+    vs = ic.init(jax.random.PRNGKey(0), pyr)
+    outs = ic.apply(vs, pyr)
+    assert outs[2].shape == (1, 16, 16, 8)
