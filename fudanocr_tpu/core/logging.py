@@ -16,6 +16,7 @@ import json
 import logging
 import os
 import shutil
+import sys
 import time
 from typing import Dict, Optional
 
@@ -61,6 +62,37 @@ class MetricsLogger:
             except (TypeError, ValueError):
                 pass
 
+    def prediction_table(self, step: int, images, gts, preds,
+                         palette=((0, 0, 0), (255, 64, 64)),
+                         max_rows: int = 8):
+        """The MMSegWandbHook prediction-table analog
+        (mmseg/core/hook/wandblogger_hook.py:15-370) without wandb: write
+        an (image | gt | pred) panel PNG per sample plus a JSONL index
+        under <log_dir>/predictions/."""
+        import numpy as np
+        from PIL import Image
+
+        out_dir = os.path.join(self.log_dir, "predictions")
+        os.makedirs(out_dir, exist_ok=True)
+        pal = np.asarray(palette, np.uint8)
+        rows = []
+        for i in range(min(len(images), max_rows)):
+            img = np.asarray(images[i])
+            if img.dtype != np.uint8:
+                lo, hi = float(img.min()), float(img.max())
+                img = ((img - lo) / max(hi - lo, 1e-6) * 255).astype(np.uint8)
+            gt = pal[np.clip(np.asarray(gts[i]), 0, len(pal) - 1)]
+            pred = pal[np.clip(np.asarray(preds[i]), 0, len(pal) - 1)]
+            panel = np.concatenate([img, gt, pred], axis=1)
+            name = f"step{step:08d}_{i}.png"
+            Image.fromarray(panel).save(os.path.join(out_dir, name))
+            rows.append(name)
+        self._jsonl.write(json.dumps(
+            {"tag": "predictions", "step": int(step), "files": rows,
+             "time": time.time()}) + "\n")
+        self._jsonl.flush()
+        return rows
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:
@@ -73,6 +105,20 @@ class Saver:
 
     def __init__(self, history_dir: str, exp_name: str):
         self.run_dir = os.path.join(history_dir, exp_name)
+
+    def check_exp_name(self, interactive: Optional[bool] = None) -> bool:
+        """Overwrite guard (text-gestalt/interfaces/base.py:75-103): if the
+        run dir already holds a snapshot, ask before clobbering when stdin
+        is a tty, else refuse silently. Returns True if OK to proceed."""
+        if not os.path.isdir(self.run_dir) or not os.listdir(self.run_dir):
+            return True
+        if interactive is None:
+            interactive = sys.stdin.isatty()
+        if not interactive:
+            return False
+        ans = input(f"experiment dir {self.run_dir} exists — "
+                    "overwrite? [y/N] ")
+        return ans.strip().lower() in ("y", "yes")
 
     def snapshot(self, *source_files: str):
         os.makedirs(self.run_dir, exist_ok=True)

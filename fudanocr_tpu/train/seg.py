@@ -281,13 +281,16 @@ class SegTrainer:
 
         infer = jax.jit(infer)
         hist = np.zeros((4, self.num_classes), np.float64)
-        for batch in self.eval_data.batches(self.batch_size):
+        for bi, batch in enumerate(self.eval_data.batches(self.batch_size)):
             logits = infer(jnp.asarray(batch["img"]))
             pred = jnp.argmax(logits, axis=-1)
             gt = jnp.asarray(batch["gt_seg"])
             if "valid" in batch:  # padded tail samples count nothing
                 gt = jnp.where(
                     jnp.asarray(batch["valid"])[:, None, None] > 0, gt, 255)
+            if bi == 0 and self.metrics_logger is not None:
+                self.metrics_logger.prediction_table(
+                    it, batch["img"], batch["gt_seg"], np.asarray(pred))
             i, u, pa, la = intersect_and_union(pred, gt, self.num_classes)
             hist += np.stack([np.asarray(i), np.asarray(u), np.asarray(pa),
                               np.asarray(la)]).astype(np.float64)

@@ -117,3 +117,32 @@ def test_labelmaps():
     voc = get_vocabulary("LOWERCASE")
     assert voc[-3:] == ["EOS", "PADDING", "UNKNOWN"]
     assert char2id(voc)["a"] == 10
+
+
+def test_saver_overwrite_guard(tmp_path):
+    """text-gestalt/interfaces/base.py:75-103 overwrite guard: fresh dir ok,
+    existing snapshot refused when non-interactive."""
+    from fudanocr_tpu.core.logging import Saver
+
+    s = Saver(str(tmp_path), "exp")
+    assert s.check_exp_name()
+    s.snapshot()
+    assert not s.check_exp_name(interactive=False)
+
+
+def test_prediction_table_writes_panels(tmp_path):
+    """wandb prediction-table analog: panel PNGs + JSONL index."""
+    import json
+    import numpy as np
+    from fudanocr_tpu.core.logging import MetricsLogger
+
+    ml = MetricsLogger(str(tmp_path), tensorboard=False)
+    imgs = np.random.default_rng(0).random((3, 8, 8, 3)).astype(np.float32)
+    gts = np.zeros((3, 8, 8), np.int64)
+    preds = np.ones((3, 8, 8), np.int64)
+    files = ml.prediction_table(5, imgs, gts, preds, max_rows=2)
+    assert len(files) == 2
+    for f in files:
+        assert (tmp_path / "predictions" / f).exists()
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert any(r.get("tag") == "predictions" for r in rows)
