@@ -77,17 +77,32 @@ def main():
     tx = make_seg_optimizer(variables["params"])
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
-    step = make_seg_train_step(model, mesh,
-                               {"ce": 1.0, "lovasz": 1.0})
+    raw_step = make_seg_train_step(model, mesh, {"ce": 1.0, "lovasz": 1.0},
+                                   wrap_jit=False)
     batch = {"img": img, "gt_seg": gt}
-    rng = jax.random.PRNGKey(2)
-    state, _ = step(state, batch, rng)  # compile
 
-    tflops = _flops(step, state, batch, rng)
+    # chain the iterations INSIDE one jit (lax.scan with the state as
+    # carry): per-dispatch tunnel overhead is ~1.4 s/call on axon, ~20x
+    # the 60 ms device step (profiled 2026-08-16), so a python-loop
+    # benchmark measures the tunnel, not the TPU
+    def chain(state, batch, rng):
+        def body(carry, _):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, m = raw_step(st, batch, sub)
+            return (st, r), m["loss"]
+        (st, _), losses = jax.lax.scan(body, (state, rng), None,
+                                       length=TRAIN_ITERS)
+        return st, losses
+
+    chained = jax.jit(chain, donate_argnums=(0,))
+    rng = jax.random.PRNGKey(2)
+    tflops = _flops(chained, state, batch, rng) / TRAIN_ITERS
+    state, losses = chained(state, batch, rng)  # compile + warm
+    float(losses[-1])
     t0 = time.perf_counter()
-    for _ in range(TRAIN_ITERS):
-        state, metrics = step(state, batch, rng)
-    float(metrics["loss"])
+    state, losses = chained(state, batch, rng)
+    float(losses[-1])
     dt = (time.perf_counter() - t0) / TRAIN_ITERS
     print(json.dumps({
         "metric": "cascade_mit_b0_512_train",
@@ -107,17 +122,32 @@ def main():
         return slide_inference(lambda p: model.apply(ivars, p), img,
                                (1024, 1024), (768, 768))
 
-    jinfer = jax.jit(infer)
-    iflops = _flops(jinfer, big)
-    dt = _timed(jinfer, (big,), INFER_ITERS)
+    def infer_chain(img):
+        # data-dependent chaining defeats CSE and amortizes dispatch
+        def body(x, _):
+            out = infer(x)
+            return x + 1e-12 * out.mean(), out.mean()
+        _, outs = jax.lax.scan(body, img, None, length=INFER_ITERS)
+        return outs
+
+    jinfer = jax.jit(infer_chain)
+    iflops = _flops(jax.jit(infer), big)
+    jinfer(big)[0].item()  # compile + warm
+    t0 = time.perf_counter()
+    float(jinfer(big)[-1])
+    dt = (time.perf_counter() - t0) / INFER_ITERS
     fps = 1.0 / dt
+    # the V100 reference number is per 512^2 ADE image; this canvas is
+    # 1024x2048 = 8x those pixels, so normalize for vs_baseline
+    eq512 = fps * 8.0
     print(json.dumps({
         "metric": "cascade_mit_b0_slide1024_inference",
         "value": round(fps, 2),
         "unit": "images/sec/chip (1024x2048 canvas)",
         "ms_per_image": round(dt * 1e3, 1),
+        "equiv_512sq_images_per_sec": round(eq512, 1),
         "mfu": round(iflops / dt / PEAK_BF16, 4) if iflops else None,
-        "vs_baseline": round(fps / REF_V100_SEG_FPS, 3),
+        "vs_baseline": round(eq512 / REF_V100_SEG_FPS, 3),
     }))
 
 

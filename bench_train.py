@@ -50,28 +50,39 @@ def main():
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}),
                               adam_with_clip(1e-4))
-    step = make_sr_train_step(model, loss_fn, mesh)
+    raw_step = make_sr_train_step(model, loss_fn, mesh, wrap_jit=False)
     batch = {"hr": hr, "lr": lr,
              "text_input": jnp.asarray(text_input),
              "text_gt": jnp.asarray(text_gt),
              "lengths": jnp.asarray(lengths)}
+
+    # iterations chained INSIDE one jit (per-dispatch axon-tunnel overhead
+    # is ~1.4 s/call, dwarfing the device step; see bench.py / bench_seg.py)
+    def chain(state, batch, rng):
+        def body(carry, _):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, m = raw_step(st, batch, sub)
+            return (st, r), m["loss"]
+        (st, _), losses = jax.lax.scan(body, (state, rng), None,
+                                       length=ITERS)
+        return st, losses
+
+    chained = jax.jit(chain, donate_argnums=(0,))
     rng = jax.random.PRNGKey(4)
-
-    state, metrics = step(state, batch, rng)  # compile
-    float(metrics["loss"])
-
     try:
-        cost = step.lower(state, batch, rng).compile().cost_analysis()
+        cost = chained.lower(state, batch, rng).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        flops = (float(cost.get("flops", 0.0)) / ITERS) if cost else 0.0
     except Exception:
         flops = 0.0
 
+    state, losses = chained(state, batch, rng)  # compile + warm
+    float(losses[-1])
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, batch, rng)
-    float(metrics["loss"])  # host fetch bounds device completion
+    state, losses = chained(state, batch, rng)
+    float(losses[-1])
     dt = (time.perf_counter() - t0) / ITERS
 
     print(json.dumps({

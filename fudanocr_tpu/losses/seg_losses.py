@@ -96,10 +96,11 @@ def lovasz_softmax_loss(logits: jax.Array, labels: jax.Array,
     def per_class(ci):
         fg = ((safe == ci) & valid).astype(jnp.float32)
         errors = jnp.where(valid, jnp.abs(fg - probs[:, ci]), 0.0)
-        order = jnp.argsort(-errors)
-        e_sorted = errors[order]
-        fg_sorted = fg[order]
-        loss_c = jnp.sum(e_sorted * _lovasz_grad(fg_sorted))
+        # one multi-operand sort (descending by error) instead of
+        # argsort + two gathers: TPU sorts are the hot op here and the
+        # gather/scatter pair in the VJP costs more than the sort itself
+        neg_e_sorted, fg_sorted = jax.lax.sort((-errors, fg), num_keys=1)
+        loss_c = jnp.sum(-neg_e_sorted * _lovasz_grad(fg_sorted))
         present = jnp.sum(fg) > 0
         return jnp.where(present, loss_c, 0.0), present.astype(jnp.float32)
 

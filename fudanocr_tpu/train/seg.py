@@ -131,7 +131,8 @@ def make_layer_decay_optimizer(params, base_lr: float = 6e-5,
 
 def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
                         det_loss_ratio: float = 0.1,
-                        gt_guided_masks: bool = False):
+                        gt_guided_masks: bool = False,
+                        wrap_jit: bool = True):
     """batch: {'img', 'gt_seg', optional 'gt_det', optional 'valid'}.
 
     With a det-guided model and `gt_det` in the batch, the det logits
@@ -201,6 +202,8 @@ def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         return new_state, {"loss": loss, **aux}
 
+    if not wrap_jit:  # raw step for callers that scan/chain it themselves
+        return step
     return jax.jit(step, in_shardings=(None, batch_sharding, None),
                    donate_argnums=(0,))
 

@@ -29,12 +29,14 @@ from fudanocr_tpu.train.state import TrainState
 log = logging.getLogger("fudanocr_tpu.sr")
 
 
-def make_sr_train_step(model, loss_fn, mesh, loss_scale: float = 100.0):
+def make_sr_train_step(model, loss_fn, mesh, loss_scale: float = 100.0,
+                       wrap_jit: bool = True):
     """Build the jitted, batch-sharded train step.
 
     `loss_fn(sr, hr, text_input, text_gt, lengths) -> (loss, aux)`;
     the x100 scaling before grad (super_resolution.py:79) is kept so the
     0.25 grad-norm clip bites at the same point as the reference.
+    `wrap_jit=False` returns the raw step for callers that scan it.
     """
     batch_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
@@ -54,6 +56,8 @@ def make_sr_train_step(model, loss_fn, mesh, loss_scale: float = 100.0):
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         return new_state, {"loss": loss, **aux}
 
+    if not wrap_jit:
+        return step
     return jax.jit(
         step,
         in_shardings=(None,
