@@ -97,11 +97,19 @@ def main():
 
     chained = jax.jit(chain, donate_argnums=(0,))
     rng = jax.random.PRNGKey(2)
-    tflops = _flops(chained, state, batch, rng) / TRAIN_ITERS
-    state, losses = chained(state, batch, rng)  # compile + warm
+    # one compile serves cost analysis AND execution
+    compiled = chained.lower(state, batch, rng).compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        tflops = (float(cost.get("flops", 0.0)) / TRAIN_ITERS) if cost else 0.0
+    except Exception:
+        tflops = 0.0
+    state, losses = compiled(state, batch, rng)  # warm
     float(losses[-1])
     t0 = time.perf_counter()
-    state, losses = chained(state, batch, rng)
+    state, losses = compiled(state, batch, rng)
     float(losses[-1])
     dt = (time.perf_counter() - t0) / TRAIN_ITERS
     print(json.dumps({
@@ -130,9 +138,16 @@ def main():
         _, outs = jax.lax.scan(body, img, None, length=INFER_ITERS)
         return outs
 
-    jinfer = jax.jit(infer_chain)
-    iflops = _flops(jax.jit(infer), big)
-    jinfer(big)[0].item()  # compile + warm
+    jinfer = jax.jit(infer_chain).lower(big).compile()
+    try:
+        icost = jinfer.cost_analysis()
+        if isinstance(icost, list):
+            icost = icost[0]
+        iflops = (float(icost.get("flops", 0.0)) / INFER_ITERS
+                  ) if icost else 0.0
+    except Exception:
+        iflops = 0.0
+    jinfer(big)[0].item()  # warm
     t0 = time.perf_counter()
     float(jinfer(big)[-1])
     dt = (time.perf_counter() - t0) / INFER_ITERS

@@ -70,18 +70,21 @@ def main():
 
     chained = jax.jit(chain, donate_argnums=(0,))
     rng = jax.random.PRNGKey(4)
+    # compile ONCE and reuse the compiled object for both cost analysis
+    # and execution (.lower().compile() does not fill the jit cache)
+    compiled = chained.lower(state, batch, rng).compile()
     try:
-        cost = chained.lower(state, batch, rng).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = (float(cost.get("flops", 0.0)) / ITERS) if cost else 0.0
     except Exception:
         flops = 0.0
 
-    state, losses = chained(state, batch, rng)  # compile + warm
+    state, losses = compiled(state, batch, rng)  # warm
     float(losses[-1])
     t0 = time.perf_counter()
-    state, losses = chained(state, batch, rng)
+    state, losses = compiled(state, batch, rng)
     float(losses[-1])
     dt = (time.perf_counter() - t0) / ITERS
 
