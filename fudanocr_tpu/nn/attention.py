@@ -24,6 +24,7 @@ import flax.linen as nn
 
 from fudanocr_tpu.ops.flash_attention import (flash_attention_supported,
                                               flash_mha, flash_mha_packed,
+                                              flash_mha_packed_dropout,
                                               flash_packed_supported)
 
 Dtype = Any
@@ -102,12 +103,21 @@ class MultiHeadAttention(nn.Module):
             q, k, v = jnp.split(qkv, 3, axis=-1)
             if (self.use_flash and not need_weights and mask is None
                     and attention_map is None
-                    and (deterministic or self.dropout_rate == 0.0)
                     and jax.default_backend() != "cpu"
                     and flash_packed_supported(lq, lk, d, h)):
-                # lane-packed kernel: no (B,H,L,Dh) transpose, no layout
+                # lane-packed kernels: no (B,H,L,Dh) transpose, no layout
                 # copies at the custom-call boundary
-                out = flash_mha_packed(q, k, v, h)
+                if deterministic or self.dropout_rate == 0.0:
+                    out = flash_mha_packed(q, k, v, h)
+                else:
+                    # train mode: dropout on the probs INSIDE the kernel —
+                    # the XLA path materialises (B,H,L,L) fp32 probs + a
+                    # threefry mask to HBM (the TBSRN train step's dominant
+                    # cost, ~255 of 365 ms/step profiled across 5 SRBs)
+                    seed = jax.random.bits(self.make_rng("dropout"), (),
+                                           jnp.uint32)
+                    out = flash_mha_packed_dropout(q, k, v, seed, h,
+                                                   self.dropout_rate)
                 out = nn.Dense(d, dtype=self.dtype, name="out")(out)
                 return out, None
         else:

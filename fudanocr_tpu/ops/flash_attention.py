@@ -23,6 +23,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -170,6 +171,221 @@ def flash_mha_packed(q: jax.Array, k: jax.Array, v: jax.Array,
 def flash_packed_supported(lq: int, lk: int, d: int, heads: int) -> bool:
     return (lq == lk and 512 <= lq <= 2048 and lq % 256 == 0
             and d % heads == 0 and d <= 512 and (d // heads) % 8 == 0)
+
+
+# ---------------------------------------------------------------------------
+# Packed attention WITH dropout on the softmax probabilities.
+#
+# Train-mode attention was the TBSRN train step's dominant cost: the XLA
+# fallback materialises the (B, H, L, L) fp32 probabilities to HBM, threefry-
+# generates an equally-large dropout mask, and saves both for the backward
+# (profiled 2026-08-16: ~255 of 365 ms/step across the 5 SRBs at B=128,
+# L=1024). Here the mask is a counter-based hash evaluated INSIDE the kernel
+# from (seed, batch, head, q, k) — nothing touches HBM, and the backward
+# kernel regenerates bit-identical keep decisions from the same seed, so no
+# residuals are stored beyond q/k/v. (pltpu.prng_random_bits has no interpret-
+# mode lowering in this jax, so the hash keeps CPU tests runnable; a murmur3
+# finalizer is plenty for dropout.)
+# ---------------------------------------------------------------------------
+
+
+def _keep_mask(bh_base, row0: int, rows: int, cols: int, seed, thresh):
+    """Deterministic (rows, cols) keep mask. `bh_base` is a traced uint32
+    scalar identifying the (batch, head) pair; row0 a static row offset.
+    Identical arithmetic runs in the fwd kernel, the bwd kernel, and the
+    pure-jnp test oracle, so dropout decisions agree bit-for-bit."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).astype(jnp.uint32)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1).astype(jnp.uint32)
+    x = (bh_base + (r + jnp.uint32(row0)) * jnp.uint32(cols) + c) ^ seed
+    # murmur3 fmix32: decorrelates the sequential counter
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x < thresh
+
+
+def _thresh(rate: float) -> jnp.uint32:
+    return jnp.uint32(min(int(round((1.0 - rate) * 2.0 ** 32)), 2 ** 32 - 1))
+
+
+def _packed_dropout_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+                               scale, heads, rate, cq):
+    l, d = q_ref.shape[1], q_ref.shape[2]
+    dh = d // heads
+    pid = pl.program_id(0)
+    seed = seed_ref[0]
+    thresh = _thresh(rate)
+    inv_keep = 1.0 / (1.0 - rate)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        bh_base = (pid.astype(jnp.uint32) * jnp.uint32(heads)
+                   + jnp.uint32(h)) * jnp.uint32(l * l % (2 ** 32))
+        kh = k[:, sl]
+        vh = v[:, sl]
+        for c0 in range(0, l, cq):
+            s = jax.lax.dot_general(
+                q[c0:c0 + cq, sl], kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            keep = _keep_mask(bh_base, c0, cq, l, seed, thresh)
+            p = jnp.where(keep, p, 0.0)
+            o = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, c0:c0 + cq, sl] = (o * (inv_keep / denom)).astype(
+                o_ref.dtype)
+
+
+def _packed_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
+                               dq_ref, dk_ref, dv_ref, *,
+                               scale, heads, rate, cq):
+    l, d = q_ref.shape[1], q_ref.shape[2]
+    dh = d // heads
+    pid = pl.program_id(0)
+    seed = seed_ref[0]
+    thresh = _thresh(rate)
+    inv_keep = 1.0 / (1.0 - rate)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        bh_base = (pid.astype(jnp.uint32) * jnp.uint32(heads)
+                   + jnp.uint32(h)) * jnp.uint32(l * l % (2 ** 32))
+        kh = k[:, sl].astype(jnp.float32)
+        vh = v[:, sl].astype(jnp.float32)
+        dk_acc = jnp.zeros((l, dh), jnp.float32)
+        dv_acc = jnp.zeros((l, dh), jnp.float32)
+        for c0 in range(0, l, cq):
+            qc = q[c0:c0 + cq, sl].astype(jnp.float32)
+            doc = do[c0:c0 + cq, sl].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qc, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)   # true softmax
+            keep = _keep_mask(bh_base, c0, cq, l, seed, thresh)
+            dropped = jnp.where(keep, probs, 0.0) * inv_keep
+            dv_acc = dv_acc + jax.lax.dot_general(
+                dropped, doc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d_dropped = jax.lax.dot_general(
+                doc, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jnp.where(keep, d_dropped, 0.0) * inv_keep
+            ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+            dq_ref[0, c0:c0 + cq, sl] = (jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            ).astype(dq_ref.dtype)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, qc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+        dk_ref[0, :, sl] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv_acc.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "rate"))
+def _packed_dropout_fwd(q, k, v, seed, heads: int, rate: float):
+    b, lq, d = q.shape
+    dh = d // heads
+    cq = min(256, lq)
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape((1,))
+    return pl.pallas_call(
+        functools.partial(_packed_dropout_fwd_kernel,
+                          scale=1.0 / math.sqrt(dh), heads=heads, rate=rate,
+                          cq=cq),
+        out_shape=jax.ShapeDtypeStruct((b, lq, d), q.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0)),
+        # the unrolled head x chunk loop + hash temporaries overflow the
+        # compiler's default 16M scoped-vmem budget; v5e has far more
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )(seed_arr, q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "rate"))
+def _packed_dropout_bwd(q, k, v, do, seed, heads: int, rate: float):
+    b, lq, d = q.shape
+    dh = d // heads
+    cq = min(256, lq)
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape((1,))
+    spec = pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_packed_dropout_bwd_kernel,
+                          scale=1.0 / math.sqrt(dh), heads=heads, rate=rate,
+                          cq=cq),
+        out_shape=[jax.ShapeDtypeStruct((b, lq, d), q.dtype)] * 3,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )(seed_arr, q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_mha_packed_dropout(q: jax.Array, k: jax.Array, v: jax.Array,
+                             seed: jax.Array, heads: int,
+                             rate: float) -> jax.Array:
+    """softmax(q k^T / sqrt(dh)) with dropout(rate) on the probabilities,
+    over lane-packed (B, L, H*Dh) inputs — the train-mode counterpart of
+    `flash_mha_packed`. `seed` is a uint32 scalar (fold the step rng into
+    it); the same seed reproduces the same mask, which is how the backward
+    pass recomputes the dropout decisions instead of storing an
+    O(B·H·L²) mask."""
+    return _packed_dropout_fwd(q, k, v, seed, heads, rate)
+
+
+def _packed_dropout_vjp_fwd(q, k, v, seed, heads, rate):
+    return _packed_dropout_fwd(q, k, v, seed, heads, rate), (q, k, v, seed)
+
+
+def _packed_dropout_vjp_bwd(heads, rate, res, do):
+    q, k, v, seed = res
+    dq, dk, dv = _packed_dropout_bwd(q, k, v, do, seed, heads, rate)
+    dseed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return dq, dk, dv, dseed
+
+
+flash_mha_packed_dropout.defvjp(_packed_dropout_vjp_fwd,
+                                _packed_dropout_vjp_bwd)
+
+
+def dropout_keep_oracle(b: int, heads: int, l: int, seed,
+                        rate: float) -> jax.Array:
+    """Pure-jnp reference of the kernel's keep mask, (B, H, L, L) bool —
+    test-only, mirrors `_keep_mask` exactly."""
+    seed = jnp.asarray(seed, jnp.uint32)
+    thresh = _thresh(rate)
+    masks = []
+    for bi in range(b):
+        row = []
+        for h in range(heads):
+            bh_base = (jnp.uint32(bi) * jnp.uint32(heads)
+                       + jnp.uint32(h)) * jnp.uint32(l * l % (2 ** 32))
+            row.append(_keep_mask(bh_base, 0, l, l, seed, thresh))
+        masks.append(jnp.stack(row))
+    return jnp.stack(masks)
 
 
 @jax.custom_vjp

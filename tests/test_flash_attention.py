@@ -55,6 +55,62 @@ def test_packed_kernel_matches_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_packed_dropout_matches_masked_oracle():
+    """The dropout kernel vs an XLA oracle applying the SAME hash-derived
+    keep mask to true softmax probabilities (mask semantics: drop AFTER
+    normalisation, scale by 1/keep — torch F.dropout on attn weights)."""
+    from fudanocr_tpu.ops.flash_attention import (dropout_keep_oracle,
+                                                  flash_mha_packed_dropout)
+
+    rng = np.random.default_rng(31)
+    b, heads, l, dh, rate = 2, 4, 512, 32, 0.1
+    d = heads * dh
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    seed = jnp.uint32(1234)
+
+    keep = dropout_keep_oracle(b, heads, l, seed, rate)  # (B,H,L,L)
+    frac = float(jnp.mean(keep))
+    assert abs(frac - (1 - rate)) < 5e-3  # hash quality: keep fraction
+
+    def split(x):
+        return x.reshape(b, l, heads, dh).transpose(0, 2, 1, 3)
+
+    def oracle(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k)) / np.sqrt(dh)
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        p = jnp.where(keep, p, 0.0) / (1 - rate)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, split(v).astype(jnp.float32))
+        return o.transpose(0, 2, 1, 3).reshape(b, l, d)
+
+    got = np.asarray(flash_mha_packed_dropout(q, k, v, seed, heads, rate))
+    want = np.asarray(oracle(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    # different seed -> different mask -> different output
+    other = np.asarray(flash_mha_packed_dropout(q, k, v, jnp.uint32(99),
+                                                heads, rate))
+    assert np.abs(other - got).max() > 1e-3
+    # same seed -> bit-identical (the bwd kernel depends on this)
+    again = np.asarray(flash_mha_packed_dropout(q, k, v, seed, heads, rate))
+    np.testing.assert_array_equal(got, again)
+
+    # gradients: the Pallas bwd kernel regenerates the mask
+    def loss_kernel(q, k, v):
+        return (flash_mha_packed_dropout(q, k, v, seed, heads, rate)
+                ** 2).sum()
+
+    def loss_oracle(q, k, v):
+        return (oracle(q, k, v) ** 2).sum()
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(gk, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=5e-3, atol=5e-3)
+
+
 def test_flash_mha_gradients_match_xla():
     """custom_vjp backward (XLA-recomputed probs) vs autodiff through the
     plain einsum attention — needed because the seg train step
