@@ -48,11 +48,18 @@ def main():
         _, means = jax.lax.scan(body, x, None, length=ITERS)
         return means
 
-    chained = jax.jit(chain)
-    chained(variables, x0)[0].item()  # compile + warm
+    compiled = jax.jit(chain).lower(variables, x0).compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = (float(cost.get("flops", 0.0)) / ITERS) if cost else 0.0
+    except Exception:
+        flops = 0.0
+    compiled(variables, x0)[0].item()  # warm
 
     t0 = time.perf_counter()
-    means = chained(variables, x0)
+    means = compiled(variables, x0)
     float(means[-1])  # host fetch forces completion
     dt = time.perf_counter() - t0
 
@@ -61,6 +68,7 @@ def main():
         "metric": "tbsrn_textzoom_sr_inference",
         "value": round(fps, 1),
         "unit": "images/sec/chip",
+        "mfu": round(flops * ITERS / dt / 197e12, 4) if flops else None,
         "vs_baseline": round(fps / REF_GPU_FPS, 3),
     }))
 

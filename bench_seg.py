@@ -126,19 +126,18 @@ def main():
     big = jax.random.uniform(jax.random.PRNGKey(3), (1, 1024, 2048, 3),
                              jnp.float32)
 
-    def infer(img):
-        return slide_inference(lambda p: model.apply(ivars, p), img,
-                               (1024, 1024), (768, 768))
-
-    def infer_chain(img):
+    # ivars passed as an argument (closed-over concrete arrays get baked
+    # into the serialized module as constants — see bench_ctr.py)
+    def infer_chain(ivars, img):
         # data-dependent chaining defeats CSE and amortizes dispatch
         def body(x, _):
-            out = infer(x)
+            out = slide_inference(lambda p: model.apply(ivars, p), x,
+                                  (1024, 1024), (768, 768))
             return x + 1e-12 * out.mean(), out.mean()
         _, outs = jax.lax.scan(body, img, None, length=INFER_ITERS)
         return outs
 
-    jinfer = jax.jit(infer_chain).lower(big).compile()
+    jinfer = jax.jit(infer_chain).lower(ivars, big).compile()
     try:
         icost = jinfer.cost_analysis()
         if isinstance(icost, list):
@@ -147,9 +146,9 @@ def main():
                   ) if icost else 0.0
     except Exception:
         iflops = 0.0
-    jinfer(big)[0].item()  # warm
+    jinfer(ivars, big)[0].item()  # warm
     t0 = time.perf_counter()
-    float(jinfer(big)[-1])
+    float(jinfer(ivars, big)[-1])
     dt = (time.perf_counter() - t0) / INFER_ITERS
     fps = 1.0 / dt
     # the V100 reference number is per 512^2 ADE image; this canvas is

@@ -25,7 +25,12 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
     valid = _valid_mask(labels, ignore_index)
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    # one-hot contraction, not take_along_axis: the gather's VJP scatter over
+    # B*H*W pixels was one of the seg train step's three hottest ops
+    # (profiled 7.7 of 39 ms/step at 512^2); the one-hot multiply-sum
+    # backward is a plain broadcast
+    onehot = jax.nn.one_hot(safe, logits.shape[-1], dtype=jnp.float32)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     w = valid.astype(jnp.float32)
     if class_weight is not None:
         w = w * class_weight[safe]
@@ -96,11 +101,23 @@ def lovasz_softmax_loss(logits: jax.Array, labels: jax.Array,
     def per_class(ci):
         fg = ((safe == ci) & valid).astype(jnp.float32)
         errors = jnp.where(valid, jnp.abs(fg - probs[:, ci]), 0.0)
-        # one multi-operand sort (descending by error) instead of
-        # argsort + two gathers: TPU sorts are the hot op here and the
-        # gather/scatter pair in the VJP costs more than the sort itself
-        neg_e_sorted, fg_sorted = jax.lax.sort((-errors, fg), num_keys=1)
-        loss_c = jnp.sum(-neg_e_sorted * _lovasz_grad(fg_sorted))
+        # The Lovász weights w depend on the SORTED ORDER only, and autodiff
+        # through a sort treats the permutation as locally constant — so
+        # compute the weights entirely under stop_gradient and express the
+        # loss as sum(errors * w_in_original_order). Differentiating
+        # lax.sort directly cost ~14 of 39 ms/step at 512^2 (a 4-operand
+        # stable sort + a VJP permutation-gather fusion); here the backward
+        # is a broadcast multiply. w is carried back to original index
+        # order by a SECOND sort keyed on the permutation indices (a TPU
+        # sort is far cheaper than the serial scatter XLA would emit).
+        e_sg = jax.lax.stop_gradient(errors)
+        iota = jnp.arange(e_sg.shape[0], dtype=jnp.int32)
+        _, fg_sorted, idx_sorted = jax.lax.sort(
+            (-e_sg, fg, iota), num_keys=1, is_stable=False)
+        w = _lovasz_grad(fg_sorted)
+        _, w_orig = jax.lax.sort((idx_sorted, w), num_keys=1,
+                                 is_stable=False)
+        loss_c = jnp.sum(errors * jax.lax.stop_gradient(w_orig))
         present = jnp.sum(fg) > 0
         return jnp.where(present, loss_c, 0.0), present.astype(jnp.float32)
 

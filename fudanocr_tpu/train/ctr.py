@@ -40,7 +40,8 @@ def masked_token_ce(logits: jax.Array, targets: jax.Array,
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def make_ctr_train_step(model, mesh, loss_fn: Optional[Callable] = None):
+def make_ctr_train_step(model, mesh, loss_fn: Optional[Callable] = None,
+                        wrap_jit: bool = True):
     batch_sharding = NamedSharding(mesh, P("data"))
     loss_fn = loss_fn or (lambda out, batch: masked_token_ce(
         out["pred"], batch["text_gt"], batch["lengths"]))
@@ -57,6 +58,8 @@ def make_ctr_train_step(model, mesh, loss_fn: Optional[Callable] = None):
             loss_of, has_aux=True)(state.params)
         return state.apply_gradients(grads, new_batch_stats=new_bs), loss
 
+    if not wrap_jit:  # raw step for callers that scan/chain it themselves
+        return step
     return jax.jit(step, in_shardings=(
         None, {k: batch_sharding for k in ("image", "text_input", "text_gt",
                                            "lengths")}, None),

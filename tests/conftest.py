@@ -14,6 +14,7 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
@@ -21,3 +22,14 @@ jax.config.update("jax_default_matmul_precision", "highest")
 assert jax.device_count() == 8, (
     f"expected 8 virtual CPU devices, got {jax.devices()} — was the backend "
     "initialized before conftest ran?")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules. The full suite
+    otherwise accumulates ~7 GB RSS of jit caches, and under memory/load
+    pressure the CPU client has (rarely, non-deterministically) died with
+    SIGABRT mid-trace; per-module clearing bounds the growth at no
+    meaningful runtime cost (jits are module-local)."""
+    yield
+    jax.clear_caches()

@@ -47,6 +47,55 @@ def test_seg_losses_basic_properties():
     assert np.isfinite(float(cross_entropy_loss(good[:1, :4, :4], ign)))
 
 
+def test_seg_loss_fast_paths_match_direct_autodiff():
+    """The gather-free CE and the stop-gradient-sorted Lovász must equal the
+    straightforward formulations in BOTH value and gradient (the fast paths
+    exist because the gather/sort VJPs were the seg train step's hottest
+    ops — 22 of 39 ms/step at 512^2)."""
+    from fudanocr_tpu.losses.seg_losses import (_lovasz_grad,
+                                                cross_entropy_loss,
+                                                lovasz_softmax_loss)
+
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 3, (2, 8, 8)))
+    labels = labels.at[0, 0, :3].set(255)  # some ignored pixels
+
+    def ce_direct(lg):
+        valid = labels != 255
+        safe = jnp.where(valid, labels, 0)
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        w = valid.astype(jnp.float32)
+        return jnp.sum(nll * w) / jnp.sum(w)
+
+    def lovasz_direct(lg):
+        c = lg.shape[-1]
+        probs = jax.nn.softmax(lg, axis=-1).reshape(-1, c)
+        flat = labels.reshape(-1)
+        valid = flat != 255
+        safe = jnp.where(valid, flat, 0)
+        tot, n = 0.0, 0.0
+        for ci in range(c):
+            fg = ((safe == ci) & valid).astype(jnp.float32)
+            errors = jnp.where(valid, jnp.abs(fg - probs[:, ci]), 0.0)
+            neg_s, fg_s = jax.lax.sort((-errors, fg), num_keys=1)
+            loss_c = jnp.sum(-neg_s * _lovasz_grad(fg_s))
+            present = jnp.sum(fg) > 0
+            tot = tot + jnp.where(present, loss_c, 0.0)
+            n = n + present.astype(jnp.float32)
+        return tot / jnp.maximum(n, 1.0)
+
+    for fast, direct in ((cross_entropy_loss, ce_direct),
+                         (lovasz_softmax_loss, lovasz_direct)):
+        v_fast, g_fast = jax.value_and_grad(lambda lg: fast(lg, labels))(
+            logits)
+        v_dir, g_dir = jax.value_and_grad(direct)(logits)
+        np.testing.assert_allclose(float(v_fast), float(v_dir), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_dir),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_slide_inference_equals_whole_on_single_crop():
     from fudanocr_tpu.models.seg.encoder_decoder import slide_inference
 
