@@ -97,7 +97,7 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, causal: bool = True) -> jax.Array:
         b, l, d = x.shape
-        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="attn_in")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = d // self.heads
@@ -114,7 +114,7 @@ class ResidualAttentionBlock(nn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(b, l, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="attn_out")(o)
 
-        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * d, dtype=self.dtype, name="mlp_fc")(h)
         h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU (model.py:59-62)
         h = nn.Dense(d, dtype=self.dtype, name="mlp_proj")(h)
@@ -150,12 +150,12 @@ class VisionTransformer(nn.Module):
                          nn.initializers.normal(scale),
                          (x.shape[1], self.width))
         x = x + pos.astype(x.dtype)
-        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads,
                                        dtype=self.dtype,
                                        name=f"block{i}")(x, causal=False)
-        x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0])
         proj = self.param("proj", nn.initializers.normal(scale),
                           (self.width, self.output_dim))
         return x @ proj.astype(x.dtype)
@@ -184,7 +184,7 @@ class CCRCLIP(nn.Module):
                                               dtype=self.dtype,
                                               name=f"block{i}")
                        for i in range(self.transformer_layers)]
-        self.ln_final = nn.LayerNorm(epsilon=1e-5, name="ln_final")
+        self.ln_final = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")
         self.text_projection = self.param(
             "text_projection",
             nn.initializers.normal(self.transformer_width ** -0.5),

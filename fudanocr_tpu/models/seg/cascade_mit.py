@@ -96,7 +96,7 @@ class EfficientAttention(nn.Module):
             kv = nn.Conv(c, (self.sr_ratio, self.sr_ratio),
                          (self.sr_ratio, self.sr_ratio), padding="VALID",
                          dtype=self.dtype, name="sr")(x)
-            kv = nn.LayerNorm(epsilon=1e-6, name="sr_norm")(kv)
+            kv = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="sr_norm")(kv)
             kv = kv.reshape(b, -1, c)
         else:
             kv = q_in
@@ -172,12 +172,12 @@ class TransformerEncoderLayer(nn.Module):
         c = x.shape[-1]
         rng = (None if deterministic or self.drop_path_rate == 0.0
                else self.make_rng("dropout"))
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = EfficientAttention(self.num_heads, self.sr_ratio, self.qkv_bias,
                                dtype=self.dtype, name="attn")(
             h, deterministic, attn_mask)
         x = x + drop_path(h, self.drop_path_rate, deterministic, rng)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         h = MixFFN(c * self.mlp_ratio, dtype=self.dtype, name="ffn")(
             h, deterministic)
         rng2 = (None if deterministic or self.drop_path_rate == 0.0
@@ -202,7 +202,7 @@ class CascadeStage(nn.Module):
                  attn_mask: Optional[jax.Array] = None) -> jax.Array:
         x = nn.Conv(self.embed_dim, (3, 3), dtype=self.dtype,
                     name="patch_embed")(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="patch_norm")(x)
         layer_cls = (nn.remat(TransformerEncoderLayer,
                               static_argnums=(2,))
                      if self.with_cp else TransformerEncoderLayer)
@@ -213,7 +213,7 @@ class CascadeStage(nn.Module):
                 self.num_heads, self.mlp_ratio, self.sr_ratio, dpr,
                 dtype=self.dtype, name=f"layer{i}")(x, deterministic,
                                                     attn_mask)
-        return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
 
 
 class CascadeMiT(nn.Module):

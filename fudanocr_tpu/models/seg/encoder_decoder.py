@@ -120,6 +120,8 @@ def slide_inference(apply_fn, img: jax.Array, crop: Tuple[int, int],
     padded so (H - ch) % sh and (W - cw) % sw need not be zero — the last
     row/col of crops is clamped to the border exactly as the reference does.
     """
+    import numpy as np
+
     b, h, w, _ = img.shape
     ch, cw = crop
     sh, sw = stride
@@ -127,22 +129,30 @@ def slide_inference(apply_fn, img: jax.Array, crop: Tuple[int, int],
     h_grids = max((h - ch + sh - 1) // sh, 0) + 1
     w_grids = max((w - cw + sw - 1) // sw, 0) + 1
 
-    preds = None
-    count = jnp.zeros((1, h, w, 1), jnp.float32)
-    for i in range(h_grids):
-        for j in range(w_grids):
-            y1 = min(i * sh, h - ch)
-            x1 = min(j * sw, w - cw)
-            patch = jax.lax.dynamic_slice(
-                img, (0, y1, x1, 0), (b, ch, cw, img.shape[3]))
-            logits = apply_fn(patch).astype(jnp.float32)
-            if preds is None:
-                preds = jnp.zeros((b, h, w, logits.shape[-1]), jnp.float32)
-            pad = jnp.zeros_like(preds)
-            pad = jax.lax.dynamic_update_slice(pad, logits, (0, y1, x1, 0))
-            preds = preds + pad
-            cpad = jax.lax.dynamic_update_slice(
-                jnp.zeros((1, h, w, 1), jnp.float32),
-                jnp.ones((1, ch, cw, 1), jnp.float32), (0, y1, x1, 0))
-            count = count + cpad
-    return preds / jnp.maximum(count, 1.0)
+    positions = [(min(i * sh, h - ch), min(j * sw, w - cw))
+                 for i in range(h_grids) for j in range(w_grids)]
+
+    # run ALL crops as ONE batched forward: the grid is static, per-crop
+    # sequential forwards at batch 1 leave the skinny-channel (C=32) B0
+    # stages lane-starved; batching multiplies arithmetic intensity by the
+    # grid size at identical numerics (eval-mode BN uses running stats)
+    patches = [jax.lax.dynamic_slice(img, (0, y1, x1, 0),
+                                     (b, ch, cw, img.shape[3]))
+               for (y1, x1) in positions]
+    stacked = patches[0] if len(patches) == 1 else jnp.concatenate(
+        patches, axis=0)
+    logits_all = apply_fn(stacked).astype(jnp.float32)
+
+    # the count map depends only on the static grid — a host constant
+    count_np = np.zeros((1, h, w, 1), np.float32)
+    for (y1, x1) in positions:
+        count_np[:, y1:y1 + ch, x1:x1 + cw, :] += 1.0
+    count = jnp.asarray(np.maximum(count_np, 1.0))
+
+    preds = jnp.zeros((b, h, w, logits_all.shape[-1]), jnp.float32)
+    for g, (y1, x1) in enumerate(positions):
+        pad = jnp.zeros_like(preds)
+        pad = jax.lax.dynamic_update_slice(
+            pad, logits_all[g * b:(g + 1) * b], (0, y1, x1, 0))
+        preds = preds + pad
+    return preds / count

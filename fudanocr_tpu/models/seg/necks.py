@@ -139,7 +139,7 @@ class MLANeck(nn.Module):
                  train: bool = False) -> List[jax.Array]:
         proj = []
         for i, x in enumerate(inputs):
-            x = nn.LayerNorm(epsilon=1e-6, name=f"norm{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm{i}")(x)
             proj.append(_ConvBNReLU(self.out_channels, 1, dtype=self.dtype,
                                     name=f"proj{i}")(x, train))
         mids = []
