@@ -313,7 +313,7 @@ def _packed_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
 def _packed_dropout_fwd(q, k, v, seed, heads: int, rate: float):
     b, lq, d = q.shape
     dh = d // heads
-    cq = min(256, lq)
+    cq = min(512, lq)
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape((1,))
     return pl.pallas_call(
         functools.partial(_packed_dropout_fwd_kernel,
@@ -341,7 +341,7 @@ def _packed_dropout_fwd(q, k, v, seed, heads: int, rate: float):
 def _packed_dropout_bwd(q, k, v, do, seed, heads: int, rate: float):
     b, lq, d = q.shape
     dh = d // heads
-    cq = min(256, lq)
+    cq = min(512, lq)
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape((1,))
     spec = pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0))
     return pl.pallas_call(
