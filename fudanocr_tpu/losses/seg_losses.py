@@ -98,6 +98,32 @@ def lovasz_softmax_loss(logits: jax.Array, labels: jax.Array,
     valid = (flat != ignore_index)
     safe = jnp.where(valid, flat, 0)
 
+    if c == 2:
+        # binary case (every textformer config): the two classes share ONE
+        # error vector — |fg1 - p1| = |(1-fg0) - (1-p0)| = |fg0 - p0|
+        # pointwise — so a single sort orders both, halving the sort cost
+        # (the dominant loss op at 512^2)
+        fg0 = ((safe == 0) & valid).astype(jnp.float32)
+        fg1 = ((safe == 1) & valid).astype(jnp.float32)
+        errors = jnp.where(valid, jnp.abs(fg0 - probs[:, 0]), 0.0)
+        e_sg = jax.lax.stop_gradient(errors)
+        iota = jnp.arange(e_sg.shape[0], dtype=jnp.int32)
+        _, fg0_s, v_s, idx_s = jax.lax.sort(
+            (-e_sg, fg0, valid.astype(jnp.float32), iota), num_keys=1,
+            is_stable=False)
+        w0 = _lovasz_grad(fg0_s)
+        w1 = _lovasz_grad(v_s - fg0_s)
+        _, w0_o, w1_o = jax.lax.sort((idx_s, w0, w1), num_keys=1,
+                                     is_stable=False)
+        w0_o = jax.lax.stop_gradient(w0_o)
+        w1_o = jax.lax.stop_gradient(w1_o)
+        p0, p1 = jnp.sum(fg0) > 0, jnp.sum(fg1) > 0
+        losses = jnp.stack([
+            jnp.where(p0, jnp.sum(errors * w0_o), 0.0),
+            jnp.where(p1, jnp.sum(errors * w1_o), 0.0)])
+        present = jnp.stack([p0, p1]).astype(jnp.float32)
+        return jnp.sum(losses) / jnp.maximum(jnp.sum(present), 1.0)
+
     def per_class(ci):
         fg = ((safe == ci) & valid).astype(jnp.float32)
         errors = jnp.where(valid, jnp.abs(fg - probs[:, ci]), 0.0)

@@ -25,6 +25,8 @@ import flax.linen as nn
 from fudanocr_tpu.ops.flash_attention import (flash_attention_supported,
                                               flash_mha, flash_mha_packed,
                                               flash_mha_packed_dropout,
+                                              flash_mha_qkv_packed,
+                                              flash_mha_qkv_packed_dropout,
                                               flash_packed_supported)
 
 Dtype = Any
@@ -100,15 +102,16 @@ class MultiHeadAttention(nn.Module):
         # checkpoint converter concatenates them to match.)
         if query is key and key is value:
             qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(query)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
             if (self.use_flash and not need_weights and mask is None
                     and attention_map is None
                     and jax.default_backend() != "cpu"
                     and flash_packed_supported(lq, lk, d, h)):
-                # lane-packed kernels: no (B,H,L,Dh) transpose, no layout
-                # copies at the custom-call boundary
+                # lane-packed kernels consume the FUSED [q|k|v] projection
+                # directly (static lane offsets per head): no (B,H,L,Dh)
+                # transpose, no 3-way split copy, and the gradient returns
+                # as one fused buffer the qkv Dense VJP consumes as-is
                 if deterministic or self.dropout_rate == 0.0:
-                    out = flash_mha_packed(q, k, v, h)
+                    out = flash_mha_qkv_packed(qkv, h)
                 else:
                     # train mode: dropout on the probs INSIDE the kernel —
                     # the XLA path materialises (B,H,L,L) fp32 probs + a
@@ -116,10 +119,11 @@ class MultiHeadAttention(nn.Module):
                     # cost, ~255 of 365 ms/step profiled across 5 SRBs)
                     seed = jax.random.bits(self.make_rng("dropout"), (),
                                            jnp.uint32)
-                    out = flash_mha_packed_dropout(q, k, v, seed, h,
-                                                   self.dropout_rate)
+                    out = flash_mha_qkv_packed_dropout(qkv, seed, h,
+                                                       self.dropout_rate)
                 out = nn.Dense(d, dtype=self.dtype, name="out")(out)
                 return out, None
+            q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = nn.Dense(d, dtype=self.dtype, name="q")(query)
             if key is value:

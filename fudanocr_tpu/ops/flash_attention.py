@@ -188,6 +188,48 @@ def flash_packed_supported(lq: int, lk: int, d: int, heads: int) -> bool:
             and d % heads == 0 and d <= 512 and (d // heads) % 8 == 0)
 
 
+def _qkv_kernel(x_ref, o_ref, *, scale, heads):
+    """Self-attention straight off the FUSED (L, 3D) qkv buffer: q/k/v are
+    static lane slices, so the (B,L,3D) -> 3x(B,L,D) split copy that fed
+    `_packed_kernel` (profiled ~1.2 ms x5 SRBs per TBSRN batch-512 step)
+    never materialises."""
+    d = o_ref.shape[-1]
+    dh = d // heads
+    x = x_ref[0]
+    for h in range(heads):
+        q = x[:, h * dh:(h + 1) * dh]
+        k = x[:, d + h * dh:d + (h + 1) * dh]
+        v = x[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, h * dh:(h + 1) * dh] = (o / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads",))
+def flash_mha_qkv_packed(qkv: jax.Array, heads: int) -> jax.Array:
+    """Attention over the fused [q|k|v] (B, L, 3D) projection -> (B, L, D)."""
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // heads
+    return pl.pallas_call(
+        functools.partial(_qkv_kernel, scale=1.0 / math.sqrt(dh),
+                          heads=heads),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
+        cost_estimate=_attn_cost(b * heads, l, l, dh),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, l, d3), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, l, d), lambda i: (i, 0, 0)),
+        interpret=jax.default_backend() == "cpu",
+    )(qkv)
+
+
 # ---------------------------------------------------------------------------
 # Packed attention WITH dropout on the softmax probabilities.
 #
@@ -358,6 +400,160 @@ def _packed_dropout_bwd(q, k, v, do, seed, heads: int, rate: float):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(seed_arr, q, k, v, do)
+
+
+def _qkv_dropout_fwd_kernel(seed_ref, x_ref, o_ref, *, scale, heads, rate,
+                            cq):
+    d = o_ref.shape[-1]
+    l = o_ref.shape[1]
+    dh = d // heads
+    pid = pl.program_id(0)
+    seed = seed_ref[0]
+    thresh = _thresh(rate)
+    inv_keep = 1.0 / (1.0 - rate)
+    x = x_ref[0]
+    for h in range(heads):
+        bh_base = (pid.astype(jnp.uint32) * jnp.uint32(heads)
+                   + jnp.uint32(h)) * jnp.uint32(l * l % (2 ** 32))
+        kh = x[:, d + h * dh:d + (h + 1) * dh]
+        vh = x[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        for c0 in range(0, l, cq):
+            s = jax.lax.dot_general(
+                x[c0:c0 + cq, h * dh:(h + 1) * dh], kh,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            keep = _keep_mask(bh_base, c0, cq, l, seed, thresh)
+            p = jnp.where(keep, p, 0.0)
+            o = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, c0:c0 + cq, h * dh:(h + 1) * dh] = (
+                o * (inv_keep / denom)).astype(o_ref.dtype)
+
+
+def _qkv_dropout_bwd_kernel(seed_ref, x_ref, do_ref, dx_ref, *,
+                            scale, heads, rate, cq):
+    d = do_ref.shape[-1]
+    l = do_ref.shape[1]
+    dh = d // heads
+    pid = pl.program_id(0)
+    seed = seed_ref[0]
+    thresh = _thresh(rate)
+    inv_keep = 1.0 / (1.0 - rate)
+    x = x_ref[0]
+    do = do_ref[0]
+    for h in range(heads):
+        qs = slice(h * dh, (h + 1) * dh)
+        ks = slice(d + h * dh, d + (h + 1) * dh)
+        vs = slice(2 * d + h * dh, 2 * d + (h + 1) * dh)
+        bh_base = (pid.astype(jnp.uint32) * jnp.uint32(heads)
+                   + jnp.uint32(h)) * jnp.uint32(l * l % (2 ** 32))
+        kh = x[:, ks].astype(jnp.float32)
+        vh = x[:, vs].astype(jnp.float32)
+        dk_acc = jnp.zeros((l, dh), jnp.float32)
+        dv_acc = jnp.zeros((l, dh), jnp.float32)
+        for c0 in range(0, l, cq):
+            qc = x[c0:c0 + cq, qs].astype(jnp.float32)
+            doc = do[c0:c0 + cq, qs].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qc, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            keep = _keep_mask(bh_base, c0, cq, l, seed, thresh)
+            dropped = jnp.where(keep, probs, 0.0) * inv_keep
+            dv_acc = dv_acc + jax.lax.dot_general(
+                dropped, doc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d_dropped = jax.lax.dot_general(
+                doc, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jnp.where(keep, d_dropped, 0.0) * inv_keep
+            ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+            dx_ref[0, c0:c0 + cq, qs] = (jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            ).astype(dx_ref.dtype)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, qc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+        dx_ref[0, :, ks] = dk_acc.astype(dx_ref.dtype)
+        dx_ref[0, :, vs] = dv_acc.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "rate"))
+def _qkv_dropout_fwd(qkv, seed, heads: int, rate: float):
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // heads
+    cq = min(512, l)
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape((1,))
+    return pl.pallas_call(
+        functools.partial(_qkv_dropout_fwd_kernel,
+                          scale=1.0 / math.sqrt(dh), heads=heads, rate=rate,
+                          cq=cq),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
+        cost_estimate=_attn_cost(b * heads, l, l, dh),
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, l, d3), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, l, d), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )(seed_arr, qkv)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "rate"))
+def _qkv_dropout_bwd(qkv, do, seed, heads: int, rate: float):
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // heads
+    cq = min(512, l)
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape((1,))
+    return pl.pallas_call(
+        functools.partial(_qkv_dropout_bwd_kernel,
+                          scale=1.0 / math.sqrt(dh), heads=heads, rate=rate,
+                          cq=cq),
+        out_shape=jax.ShapeDtypeStruct((b, l, d3), qkv.dtype),
+        cost_estimate=_attn_cost(b * heads, l, l, dh, n_matmuls=5),
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, l, d3), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((1, l, d), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, l, d3), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )(seed_arr, qkv, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def flash_mha_qkv_packed_dropout(qkv: jax.Array, seed: jax.Array,
+                                 heads: int, rate: float) -> jax.Array:
+    """Dropout attention over the fused [q|k|v] (B, L, 3D) buffer. Same
+    math as `flash_mha_packed_dropout`, but the gradient comes back as ONE
+    fused (B, L, 3D) buffer — the qkv Dense's VJP consumes it directly, so
+    neither the forward split nor the backward concat ever materialises."""
+    return _qkv_dropout_fwd(qkv, seed, heads, rate)
+
+
+def _qkv_dropout_vjp_fwd(qkv, seed, heads, rate):
+    return _qkv_dropout_fwd(qkv, seed, heads, rate), (qkv, seed)
+
+
+def _qkv_dropout_vjp_bwd(heads, rate, res, do):
+    qkv, seed = res
+    dqkv = _qkv_dropout_bwd(qkv, do, seed, heads, rate)
+    return dqkv, np.zeros(jnp.shape(seed), jax.dtypes.float0)
+
+
+flash_mha_qkv_packed_dropout.defvjp(_qkv_dropout_vjp_fwd,
+                                    _qkv_dropout_vjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

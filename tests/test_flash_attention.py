@@ -111,6 +111,47 @@ def test_packed_dropout_matches_masked_oracle():
                                    rtol=5e-3, atol=5e-3)
 
 
+def test_qkv_packed_variants_match_split_kernels():
+    """The fused-[q|k|v] kernels must equal the split-input kernels exactly
+    (they share the math; only the input layout differs), including the
+    dropout variant's gradients routed through the fused dqkv buffer."""
+    from fudanocr_tpu.ops.flash_attention import (flash_mha_packed,
+                                                  flash_mha_packed_dropout,
+                                                  flash_mha_qkv_packed,
+                                                  flash_mha_qkv_packed_dropout)
+
+    rng = np.random.default_rng(41)
+    b, heads, l, dh, rate = 2, 4, 512, 32, 0.1
+    d = heads * dh
+    q = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    seed = jnp.uint32(77)
+
+    np.testing.assert_array_equal(
+        np.asarray(flash_mha_qkv_packed(qkv, heads)),
+        np.asarray(flash_mha_packed(q, k, v, heads)))
+    np.testing.assert_array_equal(
+        np.asarray(flash_mha_qkv_packed_dropout(qkv, seed, heads, rate)),
+        np.asarray(flash_mha_packed_dropout(q, k, v, seed, heads, rate)))
+
+    def loss_fused(qkv):
+        return (flash_mha_qkv_packed_dropout(qkv, seed, heads, rate)
+                ** 2).sum()
+
+    def loss_split(q, k, v):
+        return (flash_mha_packed_dropout(q, k, v, seed, heads, rate)
+                ** 2).sum()
+
+    g_fused = jax.grad(loss_fused)(qkv)
+    gq, gk, gv = jax.grad(loss_split, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(g_fused),
+                               np.asarray(jnp.concatenate([gq, gk, gv],
+                                                          axis=-1)),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_flash_mha_gradients_match_xla():
     """custom_vjp backward (XLA-recomputed probs) vs autodiff through the
     plain einsum attention — needed because the seg train step

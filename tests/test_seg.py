@@ -57,9 +57,6 @@ def test_seg_loss_fast_paths_match_direct_autodiff():
                                                 lovasz_softmax_loss)
 
     rng = np.random.default_rng(7)
-    logits = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
-    labels = jnp.asarray(rng.integers(0, 3, (2, 8, 8)))
-    labels = labels.at[0, 0, :3].set(255)  # some ignored pixels
 
     def ce_direct(lg):
         valid = labels != 255
@@ -86,14 +83,23 @@ def test_seg_loss_fast_paths_match_direct_autodiff():
             n = n + present.astype(jnp.float32)
         return tot / jnp.maximum(n, 1.0)
 
-    for fast, direct in ((cross_entropy_loss, ce_direct),
-                         (lovasz_softmax_loss, lovasz_direct)):
-        v_fast, g_fast = jax.value_and_grad(lambda lg: fast(lg, labels))(
-            logits)
-        v_dir, g_dir = jax.value_and_grad(direct)(logits)
-        np.testing.assert_allclose(float(v_fast), float(v_dir), rtol=1e-5)
-        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_dir),
-                                   rtol=1e-4, atol=1e-6)
+    # n_classes=2 exercises the shared-error single-sort fast path
+    # (every textformer config is binary); 3 exercises the general vmap
+    for n_classes in (2, 3):
+        logits = jnp.asarray(rng.standard_normal((2, 8, 8, n_classes)),
+                             jnp.float32)
+        labels = jnp.asarray(rng.integers(0, n_classes, (2, 8, 8)))
+        labels = labels.at[0, 0, :3].set(255)  # some ignored pixels
+        for fast, direct in ((cross_entropy_loss, ce_direct),
+                             (lovasz_softmax_loss, lovasz_direct)):
+            v_fast, g_fast = jax.value_and_grad(
+                lambda lg: fast(lg, labels))(logits)
+            v_dir, g_dir = jax.value_and_grad(direct)(logits)
+            np.testing.assert_allclose(float(v_fast), float(v_dir),
+                                       rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(g_fast),
+                                       np.asarray(g_dir),
+                                       rtol=1e-4, atol=1e-6)
 
 
 def test_slide_inference_equals_whole_on_single_crop():
