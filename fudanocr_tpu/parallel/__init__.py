@@ -20,3 +20,4 @@ from fudanocr_tpu.core.mesh import (
     setup_distributed,
     host_shard_indices,
 )
+from fudanocr_tpu.parallel.tp import last_dim_spec, shard_params_tp
