@@ -1,0 +1,119 @@
+"""Batched inference serving: request queue -> padded bucket batches.
+
+The reference has no serving story (each project's `--test` loop is the
+only inference path); for production deployment the unit of TPU
+efficiency is the BATCH, so this module provides the missing piece: a
+thread-safe server that coalesces concurrent single-image requests into
+fixed-bucket batches (static shapes -> one XLA compile per bucket, no
+recompiles at serve time), pads the tail, and scatters results back to
+per-request futures.
+
+Usage:
+    model = TBSRN(..., dtype=jnp.bfloat16)
+    variables = ...  # trained / ported params
+    srv = InferenceServer(lambda x: model.apply(variables, x),
+                          buckets=(1, 8, 32, 128), max_wait_ms=5.0)
+    fut = srv.submit(lr_image)          # (H, W, C) single image
+    sr = fut.result()                   # blocks until the batch lands
+    srv.close()
+
+Design notes:
+  * buckets must be sorted ascending; a flush takes the LARGEST bucket
+    <= pending count (or the smallest bucket, padded, once max_wait_ms
+    expires) — so under load batches are full and under trickle traffic
+    latency is bounded.
+  * the batcher thread is the only caller of the jitted forward; JAX
+    dispatch is not thread-safe-per-buffer-donation, and a single issuing
+    thread also keeps request ordering deterministic.
+  * padding replicates the first request's image (shape-stable garbage);
+    padded outputs are dropped before scatter.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class InferenceServer:
+    def __init__(self, apply_fn: Callable, buckets: Sequence[int] = (1, 8, 32),
+                 max_wait_ms: float = 5.0):
+        if list(buckets) != sorted(set(int(b) for b in buckets)):
+            raise ValueError(f"buckets must be ascending unique: {buckets}")
+        self._apply = jax.jit(apply_fn)
+        self.buckets = tuple(int(b) for b in buckets)
+        self.max_wait = max_wait_ms / 1e3
+        self._q: "queue.Queue[Tuple[np.ndarray, Future]]" = queue.Queue()
+        self._closed = threading.Event()
+        self.batch_sizes: list = []  # bucket sizes actually run (stats)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image) -> Future:
+        """Enqueue one (H, W, C) image; resolves to its (H', W', C') output."""
+        if self._closed.is_set():
+            raise RuntimeError("server is closed")
+        fut: Future = Future()
+        self._q.put((np.asarray(image), fut))
+        return fut
+
+    def close(self):
+        self._closed.set()
+        self._thread.join()
+
+    # -- batcher ----------------------------------------------------------
+    def _loop(self):
+        pending: list = []
+        deadline = None  # max_wait clock starts at the FIRST pending item
+        while not (self._closed.is_set() and self._q.empty() and not pending):
+            if pending:
+                timeout = max(deadline - time.perf_counter(), 1e-4)
+            else:
+                timeout = 0.05
+            try:
+                item = self._q.get(timeout=timeout)
+                if not pending:
+                    deadline = time.perf_counter() + self.max_wait
+                pending.append(item)
+                while len(pending) < self.buckets[-1]:
+                    pending.append(self._q.get_nowait())
+            except queue.Empty:
+                pass
+            if not pending:
+                continue
+            # flush when a full largest-bucket is ready, the first waiter's
+            # latency budget is spent, or we're draining on close
+            if (len(pending) >= self.buckets[-1]
+                    or time.perf_counter() >= deadline
+                    or self._closed.is_set()):
+                self._flush(pending)
+                deadline = time.perf_counter() + self.max_wait
+
+    def _flush(self, pending: list):
+        n = len(pending)
+        bucket = self.buckets[0]
+        for b in self.buckets:
+            if b <= n:
+                bucket = b
+        take = min(n, bucket)
+        batch, futs = zip(*pending[:take])
+        del pending[:take]
+        x = np.stack(batch)
+        if take < bucket:  # pad the tail to the static bucket shape
+            pad = np.repeat(x[:1], bucket - take, axis=0)
+            x = np.concatenate([x, pad], axis=0)
+        self.batch_sizes.append(bucket)
+        try:
+            out = np.asarray(self._apply(jnp.asarray(x)))
+            for i, fut in enumerate(futs):
+                fut.set_result(out[i])
+        except Exception as e:  # surface compile/runtime errors per-request
+            for fut in futs:
+                fut.set_exception(e)

@@ -1,0 +1,73 @@
+"""Batched inference server: correctness, bucketing, padding, errors."""
+
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fudanocr_tpu.serving import InferenceServer
+
+
+def _double(x):
+    return x * 2.0
+
+
+def test_results_match_direct_application():
+    srv = InferenceServer(_double, buckets=(1, 4), max_wait_ms=2.0)
+    rng = np.random.default_rng(0)
+    imgs = [rng.random((4, 6, 3), np.float32) for _ in range(11)]
+    futs = [srv.submit(im) for im in imgs]
+    for im, fut in zip(imgs, futs):
+        np.testing.assert_allclose(fut.result(timeout=30), im * 2.0,
+                                   rtol=1e-6)
+    srv.close()
+    # every executed batch used a declared bucket size
+    assert set(srv.batch_sizes) <= {1, 4}
+
+
+def test_concurrent_submitters_and_full_batches():
+    srv = InferenceServer(_double, buckets=(1, 8), max_wait_ms=50.0)
+    results = {}
+    lock = threading.Lock()
+
+    def client(i):
+        im = np.full((2, 2, 1), float(i), np.float32)
+        out = srv.submit(im).result(timeout=30)
+        with lock:
+            results[i] = out
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    srv.close()
+    for i in range(16):
+        np.testing.assert_allclose(results[i], np.full((2, 2, 1), 2.0 * i))
+    # concurrent load should have produced at least one full bucket-8 batch
+    assert 8 in srv.batch_sizes
+
+
+def test_trickle_request_latency_bounded():
+    srv = InferenceServer(_double, buckets=(4, 8), max_wait_ms=5.0)
+    t0 = time.perf_counter()
+    out = srv.submit(np.ones((2, 2, 1), np.float32)).result(timeout=30)
+    dt = time.perf_counter() - t0
+    srv.close()
+    np.testing.assert_allclose(out, 2.0 * np.ones((2, 2, 1)))
+    assert dt < 10.0  # one padded min-bucket flush, not a hang
+
+
+def test_apply_errors_propagate_and_close_rejects():
+    def broken(x):
+        return jnp.reshape(x, (-1, 9999))  # invalid at runtime
+
+    srv = InferenceServer(broken, buckets=(1,), max_wait_ms=1.0)
+    fut = srv.submit(np.ones((2, 2, 1), np.float32))
+    with pytest.raises(Exception):
+        fut.result(timeout=30)
+    srv.close()
+    with pytest.raises(RuntimeError):
+        srv.submit(np.ones((2, 2, 1), np.float32))
