@@ -23,8 +23,7 @@ import numpy as np
 import flax.linen as nn
 
 from fudanocr_tpu.ops.flash_attention import (flash_attention_supported,
-                                              flash_mha, flash_mha_packed,
-                                              flash_mha_packed_dropout,
+                                              flash_mha,
                                               flash_mha_qkv_packed,
                                               flash_mha_qkv_packed_dropout,
                                               flash_packed_supported)
