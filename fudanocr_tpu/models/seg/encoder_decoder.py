@@ -113,12 +113,20 @@ def tta_inference(apply_fn, img: jax.Array,
 
 
 def slide_inference(apply_fn, img: jax.Array, crop: Tuple[int, int],
-                    stride: Tuple[int, int]) -> jax.Array:
+                    stride: Tuple[int, int],
+                    max_fwd_images: int = 16) -> jax.Array:
     """Accumulate crop logits over a static grid (encoder_decoder.py:160-207).
 
     `apply_fn(crop_img) -> (b, ch, cw, C)` logits; the image must already be
     padded so (H - ch) % sh and (W - cw) % sw need not be zero — the last
     row/col of crops is clamped to the border exactly as the reference does.
+
+    Crops run as BATCHED forwards (sequential batch-1 crops leave the
+    skinny-channel B0 stages lane-starved; batching multiplies arithmetic
+    intensity at identical numerics — eval-mode BN uses running stats),
+    grouped so no forward exceeds ~`max_fwd_images` crop images at once
+    (peak activation memory would otherwise scale with grid size x batch;
+    a 2048^2 canvas at eval batch 8 is 72 crops).
     """
     import numpy as np
 
@@ -131,17 +139,19 @@ def slide_inference(apply_fn, img: jax.Array, crop: Tuple[int, int],
 
     positions = [(min(i * sh, h - ch), min(j * sw, w - cw))
                  for i in range(h_grids) for j in range(w_grids)]
+    crops_per_pass = max(1, max_fwd_images // b)
 
-    # run ALL crops as ONE batched forward: the grid is static, per-crop
-    # sequential forwards at batch 1 leave the skinny-channel (C=32) B0
-    # stages lane-starved; batching multiplies arithmetic intensity by the
-    # grid size at identical numerics (eval-mode BN uses running stats)
-    patches = [jax.lax.dynamic_slice(img, (0, y1, x1, 0),
-                                     (b, ch, cw, img.shape[3]))
-               for (y1, x1) in positions]
-    stacked = patches[0] if len(patches) == 1 else jnp.concatenate(
-        patches, axis=0)
-    logits_all = apply_fn(stacked).astype(jnp.float32)
+    logit_groups = []
+    for g0 in range(0, len(positions), crops_per_pass):
+        group = positions[g0:g0 + crops_per_pass]
+        patches = [jax.lax.dynamic_slice(img, (0, y1, x1, 0),
+                                         (b, ch, cw, img.shape[3]))
+                   for (y1, x1) in group]
+        stacked = patches[0] if len(patches) == 1 else jnp.concatenate(
+            patches, axis=0)
+        logit_groups.append(apply_fn(stacked).astype(jnp.float32))
+    logits_all = (logit_groups[0] if len(logit_groups) == 1
+                  else jnp.concatenate(logit_groups, axis=0))
 
     # the count map depends only on the static grid — a host constant
     count_np = np.zeros((1, h, w, 1), np.float32)

@@ -179,6 +179,10 @@ def flash_mha_packed(q: jax.Array, k: jax.Array, v: jax.Array,
             pl.BlockSpec((1, lk, d), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0)),
+        # gate allows L up to 2048: the (L, L) fp32 score/prob temporaries
+        # then exceed the compiler's default 16M scoped-vmem budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(q, k, v)
 
@@ -226,6 +230,9 @@ def flash_mha_qkv_packed(qkv: jax.Array, heads: int) -> jax.Array:
         grid=(b,),
         in_specs=[pl.BlockSpec((1, l, d3), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, l, d), lambda i: (i, 0, 0)),
+        # see flash_mha_packed: L=2048 temporaries exceed the 16M default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(qkv)
 
@@ -246,20 +253,33 @@ def flash_mha_qkv_packed(qkv: jax.Array, heads: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _keep_mask(bh_base, row0: int, rows: int, cols: int, seed, thresh):
-    """Deterministic (rows, cols) keep mask. `bh_base` is a traced uint32
-    scalar identifying the (batch, head) pair; row0 a static row offset.
-    Identical arithmetic runs in the fwd kernel, the bwd kernel, and the
-    pure-jnp test oracle, so dropout decisions agree bit-for-bit."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).astype(jnp.uint32)
-    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1).astype(jnp.uint32)
-    x = (bh_base + (r + jnp.uint32(row0)) * jnp.uint32(cols) + c) ^ seed
-    # murmur3 fmix32: decorrelates the sequential counter
+def _fmix(x):
+    """murmur3 fmix32: decorrelates sequential counters (wraps mod 2^32)."""
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 13)
     x = x * jnp.uint32(0xC2B2AE35)
     x = x ^ (x >> 16)
+    return x
+
+
+def _bh_seed(seed, b, h: int, heads: int):
+    """Per-(batch, head) seed: hashing (rather than a linear l*l-strided
+    counter offset) keeps masks decorrelated even when B*H*L^2 exceeds
+    2^32 — a plain offset would alias bit-identical masks across (b, h)
+    pairs at e.g. L=2048, B*H >= 1024."""
+    bh = b.astype(jnp.uint32) * jnp.uint32(heads) + jnp.uint32(h)
+    return _fmix(seed ^ (bh * jnp.uint32(0x9E3779B9)))
+
+
+def _keep_mask(seed_bh, row0: int, rows: int, cols: int, thresh):
+    """Deterministic (rows, cols) keep mask from a per-(batch, head) seed
+    (`_bh_seed`) and a static row offset. Identical arithmetic runs in the
+    fwd kernel, the bwd kernel, and the pure-jnp test oracle, so dropout
+    decisions agree bit-for-bit."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).astype(jnp.uint32)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1).astype(jnp.uint32)
+    x = _fmix(((r + jnp.uint32(row0)) * jnp.uint32(cols) + c) ^ seed_bh)
     return x < thresh
 
 
@@ -280,8 +300,7 @@ def _packed_dropout_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
     v = v_ref[0]
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        bh_base = (pid.astype(jnp.uint32) * jnp.uint32(heads)
-                   + jnp.uint32(h)) * jnp.uint32(l * l % (2 ** 32))
+        seed_bh = _bh_seed(seed, pid, h, heads)
         kh = k[:, sl]
         vh = v[:, sl]
         for c0 in range(0, l, cq):
@@ -291,7 +310,7 @@ def _packed_dropout_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             denom = jnp.sum(p, axis=-1, keepdims=True)
-            keep = _keep_mask(bh_base, c0, cq, l, seed, thresh)
+            keep = _keep_mask(seed_bh, c0, cq, l, thresh)
             p = jnp.where(keep, p, 0.0)
             o = jax.lax.dot_general(
                 p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
@@ -315,8 +334,7 @@ def _packed_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
     do = do_ref[0]
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        bh_base = (pid.astype(jnp.uint32) * jnp.uint32(heads)
-                   + jnp.uint32(h)) * jnp.uint32(l * l % (2 ** 32))
+        seed_bh = _bh_seed(seed, pid, h, heads)
         kh = k[:, sl].astype(jnp.float32)
         vh = v[:, sl].astype(jnp.float32)
         dk_acc = jnp.zeros((l, dh), jnp.float32)
@@ -330,7 +348,7 @@ def _packed_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             probs = e / jnp.sum(e, axis=-1, keepdims=True)   # true softmax
-            keep = _keep_mask(bh_base, c0, cq, l, seed, thresh)
+            keep = _keep_mask(seed_bh, c0, cq, l, thresh)
             dropped = jnp.where(keep, probs, 0.0) * inv_keep
             dv_acc = dv_acc + jax.lax.dot_general(
                 dropped, doc, (((0,), (0,)), ((), ())),
@@ -355,7 +373,7 @@ def _packed_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
 def _packed_dropout_fwd(q, k, v, seed, heads: int, rate: float):
     b, lq, d = q.shape
     dh = d // heads
-    cq = min(512, lq)
+    cq = 512 if lq % 512 == 0 else 256  # gate only guarantees lq % 256
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape((1,))
     return pl.pallas_call(
         functools.partial(_packed_dropout_fwd_kernel,
@@ -383,7 +401,7 @@ def _packed_dropout_fwd(q, k, v, seed, heads: int, rate: float):
 def _packed_dropout_bwd(q, k, v, do, seed, heads: int, rate: float):
     b, lq, d = q.shape
     dh = d // heads
-    cq = min(512, lq)
+    cq = 512 if lq % 512 == 0 else 256  # gate only guarantees lq % 256
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape((1,))
     spec = pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0))
     return pl.pallas_call(
@@ -413,8 +431,7 @@ def _qkv_dropout_fwd_kernel(seed_ref, x_ref, o_ref, *, scale, heads, rate,
     inv_keep = 1.0 / (1.0 - rate)
     x = x_ref[0]
     for h in range(heads):
-        bh_base = (pid.astype(jnp.uint32) * jnp.uint32(heads)
-                   + jnp.uint32(h)) * jnp.uint32(l * l % (2 ** 32))
+        seed_bh = _bh_seed(seed, pid, h, heads)
         kh = x[:, d + h * dh:d + (h + 1) * dh]
         vh = x[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
         for c0 in range(0, l, cq):
@@ -425,7 +442,7 @@ def _qkv_dropout_fwd_kernel(seed_ref, x_ref, o_ref, *, scale, heads, rate,
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             denom = jnp.sum(p, axis=-1, keepdims=True)
-            keep = _keep_mask(bh_base, c0, cq, l, seed, thresh)
+            keep = _keep_mask(seed_bh, c0, cq, l, thresh)
             p = jnp.where(keep, p, 0.0)
             o = jax.lax.dot_general(
                 p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
@@ -449,8 +466,7 @@ def _qkv_dropout_bwd_kernel(seed_ref, x_ref, do_ref, dx_ref, *,
         qs = slice(h * dh, (h + 1) * dh)
         ks = slice(d + h * dh, d + (h + 1) * dh)
         vs = slice(2 * d + h * dh, 2 * d + (h + 1) * dh)
-        bh_base = (pid.astype(jnp.uint32) * jnp.uint32(heads)
-                   + jnp.uint32(h)) * jnp.uint32(l * l % (2 ** 32))
+        seed_bh = _bh_seed(seed, pid, h, heads)
         kh = x[:, ks].astype(jnp.float32)
         vh = x[:, vs].astype(jnp.float32)
         dk_acc = jnp.zeros((l, dh), jnp.float32)
@@ -464,7 +480,7 @@ def _qkv_dropout_bwd_kernel(seed_ref, x_ref, do_ref, dx_ref, *,
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             probs = e / jnp.sum(e, axis=-1, keepdims=True)
-            keep = _keep_mask(bh_base, c0, cq, l, seed, thresh)
+            keep = _keep_mask(seed_bh, c0, cq, l, thresh)
             dropped = jnp.where(keep, probs, 0.0) * inv_keep
             dv_acc = dv_acc + jax.lax.dot_general(
                 dropped, doc, (((0,), (0,)), ((), ())),
@@ -490,7 +506,7 @@ def _qkv_dropout_fwd(qkv, seed, heads: int, rate: float):
     b, l, d3 = qkv.shape
     d = d3 // 3
     dh = d // heads
-    cq = min(512, l)
+    cq = 512 if l % 512 == 0 else 256  # gate only guarantees l % 256
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape((1,))
     return pl.pallas_call(
         functools.partial(_qkv_dropout_fwd_kernel,
@@ -513,7 +529,7 @@ def _qkv_dropout_bwd(qkv, do, seed, heads: int, rate: float):
     b, l, d3 = qkv.shape
     d = d3 // 3
     dh = d // heads
-    cq = min(512, l)
+    cq = 512 if l % 512 == 0 else 256  # gate only guarantees l % 256
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape((1,))
     return pl.pallas_call(
         functools.partial(_qkv_dropout_bwd_kernel,
@@ -594,9 +610,8 @@ def dropout_keep_oracle(b: int, heads: int, l: int, seed,
     for bi in range(b):
         row = []
         for h in range(heads):
-            bh_base = (jnp.uint32(bi) * jnp.uint32(heads)
-                       + jnp.uint32(h)) * jnp.uint32(l * l % (2 ** 32))
-            row.append(_keep_mask(bh_base, 0, l, l, seed, thresh))
+            seed_bh = _bh_seed(seed, jnp.uint32(bi), h, heads)
+            row.append(_keep_mask(seed_bh, 0, l, l, thresh))
         masks.append(jnp.stack(row))
     return jnp.stack(masks)
 

@@ -18,10 +18,13 @@ Usage:
     srv.close()
 
 Design notes:
-  * buckets must be sorted ascending; a flush takes the LARGEST bucket
-    <= pending count (or the smallest bucket, padded, once max_wait_ms
-    expires) — so under load batches are full and under trickle traffic
-    latency is bounded.
+  * buckets must be sorted ascending; a flush runs either a FULL largest
+    bucket (under load) or, once the first waiter's max_wait_ms budget
+    expires, the smallest bucket that fits EVERY pending same-shape
+    request, padded — so under load batches are full and under trickle
+    traffic latency is bounded by ~max_wait_ms + one forward.
+  * requests of different image shapes are served in same-shape runs
+    (a shape change ends the batch; no request can poison another).
   * the batcher thread is the only caller of the jitted forward; JAX
     dispatch is not thread-safe-per-buffer-donation, and a single issuing
     thread also keeps request ordering deterministic.
@@ -67,6 +70,14 @@ class InferenceServer:
     def close(self):
         self._closed.set()
         self._thread.join()
+        # a submit() racing close() can enqueue after the batcher exits;
+        # fail those futures instead of leaving clients blocked forever
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            fut.set_exception(RuntimeError("server closed before serving"))
 
     # -- batcher ----------------------------------------------------------
     def _loop(self):
@@ -97,20 +108,29 @@ class InferenceServer:
                 deadline = time.perf_counter() + self.max_wait
 
     def _flush(self, pending: list):
-        n = len(pending)
-        bucket = self.buckets[0]
-        for b in self.buckets:
-            if b <= n:
-                bucket = b
+        # batch only the leading run of SAME-SHAPE requests: a mismatched
+        # image must not poison its batchmates (and np.stack must never
+        # raise outside the error-routing below)
+        shape = pending[0][0].shape
+        n = 1
+        while n < len(pending) and pending[n][0].shape == shape:
+            n += 1
+        if n >= self.buckets[-1]:
+            bucket = self.buckets[-1]           # a full largest bucket
+        else:
+            bucket = next(b for b in self.buckets if b >= n)  # pad up:
+            # _flush only runs at deadline/full/close, so the whole run
+            # must leave NOW — taking a smaller bucket would strand the
+            # remainder for another max_wait each
         take = min(n, bucket)
         batch, futs = zip(*pending[:take])
         del pending[:take]
-        x = np.stack(batch)
-        if take < bucket:  # pad the tail to the static bucket shape
-            pad = np.repeat(x[:1], bucket - take, axis=0)
-            x = np.concatenate([x, pad], axis=0)
         self.batch_sizes.append(bucket)
         try:
+            x = np.stack(batch)
+            if take < bucket:  # pad the tail to the static bucket shape
+                pad = np.repeat(x[:1], bucket - take, axis=0)
+                x = np.concatenate([x, pad], axis=0)
             out = np.asarray(self._apply(jnp.asarray(x)))
             for i, fut in enumerate(futs):
                 fut.set_result(out[i])

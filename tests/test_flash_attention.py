@@ -152,6 +152,43 @@ def test_qkv_packed_variants_match_split_kernels():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_dropout_kernels_handle_256_aligned_lengths():
+    """flash_packed_supported admits any L % 256 == 0 in [512, 2048]; the
+    chunked dropout kernels must handle L=768 (not % 512) — regression for
+    a chunk/mask shape mismatch at those lengths."""
+    from fudanocr_tpu.ops.flash_attention import (dropout_keep_oracle,
+                                                  flash_mha_qkv_packed_dropout,
+                                                  flash_packed_supported)
+
+    rng = np.random.default_rng(51)
+    b, heads, l, dh, rate = 1, 2, 768, 32, 0.1
+    d = heads * dh
+    assert flash_packed_supported(l, l, d, heads)
+    qkv = jnp.asarray(rng.standard_normal((b, l, 3 * d)), jnp.float32)
+    seed = jnp.uint32(5)
+
+    keep = dropout_keep_oracle(b, heads, l, seed, rate)
+
+    def split(x):
+        return x.reshape(b, l, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k)) / np.sqrt(dh)
+    p = jnp.where(keep, jax.nn.softmax(s, axis=-1), 0.0) / (1 - rate)
+    want = jnp.einsum("bhqk,bhkd->bhqd", p, split(v)).transpose(
+        0, 2, 1, 3).reshape(b, l, d)
+
+    def loss(qkv):
+        return (flash_mha_qkv_packed_dropout(qkv, seed, heads, rate)
+                ** 2).sum()
+
+    got = flash_mha_qkv_packed_dropout(qkv, seed, heads, rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    g = jax.grad(loss)(qkv)  # bwd kernel covers the same chunking
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_flash_mha_gradients_match_xla():
     """custom_vjp backward (XLA-recomputed probs) vs autodiff through the
     plain einsum attention — needed because the seg train step

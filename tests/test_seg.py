@@ -119,6 +119,12 @@ def test_slide_inference_equals_whole_on_single_crop():
     slid2 = slide_inference(apply_fn, img, (8, 8), (4, 4))
     np.testing.assert_allclose(np.asarray(slid2), np.asarray(whole),
                                rtol=1e-6)
+    # the memory cap (max_fwd_images) splits the 9-crop grid into several
+    # forwards without changing the result
+    slid3 = slide_inference(apply_fn, img, (8, 8), (4, 4),
+                            max_fwd_images=2)
+    np.testing.assert_allclose(np.asarray(slid3), np.asarray(slid2),
+                               rtol=1e-6)
 
 
 def test_pipeline_label_remap_and_pad():

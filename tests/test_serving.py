@@ -60,6 +60,37 @@ def test_trickle_request_latency_bounded():
     assert dt < 10.0  # one padded min-bucket flush, not a hang
 
 
+def test_deadline_flush_pads_whole_backlog_into_one_bucket():
+    """7 pending with buckets (1, 8) must leave as ONE padded batch-8 at
+    the deadline — not trickle out one bucket-1 flush per max_wait."""
+    srv = InferenceServer(_double, buckets=(1, 8), max_wait_ms=100.0)
+    imgs = [np.full((2, 2, 1), float(i), np.float32) for i in range(7)]
+    t0 = time.perf_counter()
+    futs = [srv.submit(im) for im in imgs]
+    outs = [f.result(timeout=30) for f in futs]
+    dt = time.perf_counter() - t0
+    srv.close()
+    for i, out in enumerate(outs):
+        np.testing.assert_allclose(out, 2.0 * imgs[i])
+    assert srv.batch_sizes == [8]
+    assert dt < 60.0  # one deadline, not seven
+
+
+def test_mixed_shapes_served_in_same_shape_runs():
+    """A shape change must end the batch, not crash the batcher or poison
+    other requests."""
+    srv = InferenceServer(_double, buckets=(1, 4), max_wait_ms=5.0)
+    a = np.ones((2, 2, 1), np.float32)
+    b = np.ones((3, 5, 1), np.float32) * 3.0
+    fa = srv.submit(a)
+    fb = srv.submit(b)
+    fc = srv.submit(a * 5.0)
+    np.testing.assert_allclose(fa.result(timeout=30), 2.0 * a)
+    np.testing.assert_allclose(fb.result(timeout=30), 2.0 * b)
+    np.testing.assert_allclose(fc.result(timeout=30), 10.0 * a)
+    srv.close()
+
+
 def test_apply_errors_propagate_and_close_rejects():
     def broken(x):
         return jnp.reshape(x, (-1, 9999))  # invalid at runtime
