@@ -94,6 +94,10 @@ def main(argv=None):
     elif args.test:
         print(trainer.evaluate(0))
     else:
+        from fudanocr_tpu.core.logging import guard_run_dir
+        if not guard_run_dir(cfg.TRAIN.ckpt_dir, sources=[__file__],
+                             resume=bool(args.resume)):
+            return
         trainer.train()
         print(trainer.evaluate(-1))
 

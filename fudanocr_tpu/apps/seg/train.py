@@ -47,8 +47,12 @@ def build_data(cfg, train: bool):
     pipeline.insert(1, pp.LoadAnnotations(pp.REMAPS[d.dataset]))
     img_dir = d.img_dir if train else (d.val_img_dir or d.img_dir)
     ann_dir = d.ann_dir if train else (d.val_ann_dir or d.ann_dir)
-    return SegDataset(img_dir, ann_dir, pipeline,
-                      det_dir=(d.get("det_dir") or None))
+    # det masks exist only for the train split in the reference layout
+    # (textseg.py det_prefix is train-only) and gt_det is never consumed at
+    # eval — passing the train det_dir here used to crash eval of *_det
+    # configs with FileNotFoundError on val basenames.
+    det_dir = (d.get("det_dir") or None) if train else None
+    return SegDataset(img_dir, ann_dir, pipeline, det_dir=det_dir)
 
 
 def build_model(cfg):

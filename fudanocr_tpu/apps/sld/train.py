@@ -177,6 +177,10 @@ def main(argv=None):
     if cfg.test_only:
         print(trainer.evaluate(0))
     else:
+        # the reference's saver()+overwrite prompt (sld/util.py:144-173)
+        from fudanocr_tpu.core.logging import guard_run_dir
+        if not guard_run_dir(cfg.ckpt_dir, sources=[__file__]):
+            return
         trainer.train()
         print(trainer.evaluate(-1))
 

@@ -86,6 +86,10 @@ def main(argv=None):
     if args.test or args.demo:
         print(trainer.evaluate(0))
     else:
+        from fudanocr_tpu.core.logging import guard_run_dir
+        if not guard_run_dir(cfg.TRAIN.ckpt_dir, sources=[__file__],
+                             resume=bool(getattr(args, "resume", False))):
+            return
         trainer.train()
         print(trainer.evaluate(-1))
 

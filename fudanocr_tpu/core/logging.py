@@ -74,15 +74,26 @@ class MetricsLogger:
 
         out_dir = os.path.join(self.log_dir, "predictions")
         os.makedirs(out_dir, exist_ok=True)
-        pal = np.asarray(palette, np.uint8)
+        # extra gray entry renders ignore_index (255) pixels — padded
+        # borders and don't-care regions must not display as the last class
+        pal = np.concatenate([np.asarray(palette, np.uint8),
+                              np.asarray([[128, 128, 128]], np.uint8)])
+        ignore_slot = len(pal) - 1
+
+        def colorize(labels):
+            labels = np.asarray(labels)
+            idx = np.where(labels == 255, ignore_slot,
+                           np.clip(labels, 0, ignore_slot - 1))
+            return pal[idx]
+
         rows = []
         for i in range(min(len(images), max_rows)):
             img = np.asarray(images[i])
             if img.dtype != np.uint8:
                 lo, hi = float(img.min()), float(img.max())
                 img = ((img - lo) / max(hi - lo, 1e-6) * 255).astype(np.uint8)
-            gt = pal[np.clip(np.asarray(gts[i]), 0, len(pal) - 1)]
-            pred = pal[np.clip(np.asarray(preds[i]), 0, len(pal) - 1)]
+            gt = colorize(gts[i])
+            pred = colorize(preds[i])
             panel = np.concatenate([img, gt, pred], axis=1)
             name = f"step{step:08d}_{i}.png"
             Image.fromarray(panel).save(os.path.join(out_dir, name))
@@ -129,6 +140,20 @@ class Saver:
                 shutil.copyfile(src, os.path.join(self.run_dir,
                                                   os.path.basename(src)))
         return self.run_dir
+
+
+def guard_run_dir(run_dir: str, sources=(), resume: bool = False) -> bool:
+    """Entry-point wrapper for the overwrite guard + source snapshot
+    (text-gestalt/interfaces/base.py:75-103): refuse to clobber an
+    experiment dir that already holds results unless the user confirms
+    (tty) or is resuming. Returns False when the caller should abort."""
+    saver = Saver(os.path.dirname(run_dir) or ".", os.path.basename(run_dir))
+    if not resume and not saver.check_exp_name():
+        log.error("experiment dir %s already has contents — pass --resume, "
+                  "confirm at the prompt, or choose another dir", run_dir)
+        return False
+    saver.snapshot(*sources)
+    return True
 
 
 @contextlib.contextmanager

@@ -73,10 +73,19 @@ class SegDataset:
         if split:
             keep = {l.strip() for l in open(split)}
             names = [n for n in names if n in keep]
+        def det_path(n):
+            # tolerate partial det coverage: a missing det mask degrades
+            # that sample to the plain (no det-loss) path instead of
+            # crashing LoadAnnotations with FileNotFoundError
+            if not det_dir:
+                return None
+            p = os.path.join(det_dir, n + det_suffix)
+            return p if os.path.exists(p) else None
+
         self.samples = [
             (os.path.join(img_dir, n + img_suffix),
              os.path.join(ann_dir, n + seg_suffix),
-             os.path.join(det_dir, n + det_suffix) if det_dir else None)
+             det_path(n))
             for n in names]
 
     def __len__(self):

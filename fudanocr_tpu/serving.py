@@ -55,20 +55,26 @@ class InferenceServer:
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue[Tuple[np.ndarray, Future]]" = queue.Queue()
         self._closed = threading.Event()
+        self._submit_lock = threading.Lock()  # serializes submit vs close
         self.batch_sizes: list = []  # bucket sizes actually run (stats)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, image) -> Future:
         """Enqueue one (H, W, C) image; resolves to its (H', W', C') output."""
-        if self._closed.is_set():
-            raise RuntimeError("server is closed")
-        fut: Future = Future()
-        self._q.put((np.asarray(image), fut))
+        # the closed-check and the put must be atomic w.r.t. close():
+        # otherwise a submit that passes the check can enqueue after the
+        # post-join drain finished, stranding its Future forever
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError("server is closed")
+            fut: Future = Future()
+            self._q.put((np.asarray(image), fut))
         return fut
 
     def close(self):
-        self._closed.set()
+        with self._submit_lock:
+            self._closed.set()
         self._thread.join()
         # a submit() racing close() can enqueue after the batcher exits;
         # fail those futures instead of leaving clients blocked forever

@@ -146,3 +146,46 @@ def test_prediction_table_writes_panels(tmp_path):
         assert (tmp_path / "predictions" / f).exists()
     rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert any(r.get("tag") == "predictions" for r in rows)
+
+
+def test_prediction_table_ignore_pixels_render_gray(tmp_path):
+    """ignore_index (255) must NOT render as the text class in the gt
+    panel (advisor round-2 finding): it gets the dedicated gray entry."""
+    import numpy as np
+    from PIL import Image
+    from fudanocr_tpu.core.logging import MetricsLogger
+
+    ml = MetricsLogger(str(tmp_path), tensorboard=False)
+    imgs = np.zeros((1, 4, 4, 3), np.uint8)
+    gts = np.full((1, 4, 4), 255, np.int64)     # all-ignore gt
+    preds = np.ones((1, 4, 4), np.int64)
+    files = ml.prediction_table(0, imgs, gts, preds, max_rows=1)
+    panel = np.asarray(Image.open(tmp_path / "predictions" / files[0]))
+    gt_panel = panel[:, 4:8]                     # (image | gt | pred)
+    assert (gt_panel == 128).all()               # gray, not (255, 64, 64)
+
+
+def test_guard_run_dir(tmp_path):
+    """Entry-point guard: fresh/empty -> snapshot+True; populated dir ->
+    False non-interactively; resume bypasses."""
+    from fudanocr_tpu.core.logging import guard_run_dir
+
+    run = str(tmp_path / "exp")
+    assert guard_run_dir(run)                    # fresh: ok + snapshots
+    import sys
+    if not sys.stdin.isatty():                   # CI path
+        assert not guard_run_dir(run)            # now holds a snapshot
+    assert guard_run_dir(run, resume=True)       # resume always proceeds
+
+
+def test_serving_submit_close_race_rejected():
+    """A submit after close() must raise, never strand a Future."""
+    import numpy as np
+    import pytest
+    from fudanocr_tpu.serving import InferenceServer
+
+    srv = InferenceServer(lambda x: x, buckets=(1, 2))
+    srv.submit(np.zeros((2, 2, 3), np.float32)).result(timeout=30)
+    srv.close()
+    with pytest.raises(RuntimeError):
+        srv.submit(np.zeros((2, 2, 3), np.float32))
