@@ -1,11 +1,16 @@
 """Segmentation-stack benchmark: CascadeMiT-B0 + SegFormer head on TPU.
 
-Two numbers, mirroring the reference's own recipes:
+Three numbers, mirroring the reference's own recipes:
   * train step at 512^2 crops (textseg train pipeline crop,
     configs/_base_/datasets/textseg.py) — images/sec/chip + MFU;
+  * DET-GUIDED (V10) train step at the published *_det recipe's crop
+    1024^2 (configs/textformer/textformer-cascade-mit-b0_8x1_160k_
+    textseg_det.py:49-75) — the reference-scale det pillar, runnable
+    only because the region masks are evaluated in-kernel
+    (ops/region_attention.py) instead of materialising the ~268 MB/image
+    (B,1,65536,1024) additive masks;
   * slide inference, crop 1024^2 / stride 768^2 over a 1024x2048 canvas
-    (test_cfg of every textformer config,
-    configs/textformer/*_det.py:49-75) — images/sec/chip + MFU.
+    (test_cfg of every textformer config) — images/sec/chip + MFU.
 
 MFU = (XLA cost-analysis flops per step) / elapsed / PEAK_BF16. The
 reference's only citable in-repo seg latency is upstream SegFormer-B0 at
@@ -120,6 +125,68 @@ def main():
         "mfu": round(tflops / dt / PEAK_BF16, 4) if tflops else None,
         "vs_baseline": None,
     }))
+
+    # ---- DET-GUIDED train step @ the published 1024^2 det recipe ----
+    from fudanocr_tpu.models.seg import (CascadeMiTDetGuided,
+                                         DetGuidedEncoderDecoder)
+
+    det_model = DetGuidedEncoderDecoder(
+        backbone=CascadeMiTDetGuided(embed_dims=32, num_layers=(2, 2, 2, 2),
+                                     dtype=jnp.bfloat16),
+        decode_head=SegformerHead(num_classes=2, channels=256,
+                                  dtype=jnp.bfloat16))
+    DET_BATCH = 1          # reference det configs are 8x1 (batch 1/GPU)
+    DET_ITERS = 4
+    dimg = jax.random.uniform(jax.random.PRNGKey(4),
+                              (DET_BATCH, 1024, 1024, 3), jnp.float32)
+    dgt = jnp.zeros((DET_BATCH, 1024, 1024), jnp.int32)
+    ddet = jnp.zeros((DET_BATCH, 1024, 1024), jnp.int32)
+    dvars = jax.jit(det_model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(5), dimg, train=True)
+    dmesh = make_mesh_for_batch(DET_BATCH)
+    dtx = make_seg_optimizer(dvars["params"])
+    dstate = TrainState.create(dvars["params"],
+                               dvars.get("batch_stats", {}), dtx)
+    det_step = make_seg_train_step(det_model, dmesh,
+                                   {"ce": 1.0, "lovasz": 1.0},
+                                   det_loss_ratio=0.1, wrap_jit=False)
+    dbatch = {"img": dimg, "gt_seg": dgt, "gt_det": ddet}
+
+    def det_chain(state, batch, rng):
+        def body(carry, _):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, m = det_step(st, batch, sub)
+            return (st, r), m["loss"]
+        (st, _), losses = jax.lax.scan(body, (state, rng), None,
+                                       length=DET_ITERS)
+        return st, losses
+
+    dchained = jax.jit(det_chain, donate_argnums=(0,))
+    dcompiled = dchained.lower(dstate, dbatch,
+                               jax.random.PRNGKey(6)).compile()
+    try:
+        dcost = dcompiled.cost_analysis()
+        if isinstance(dcost, list):
+            dcost = dcost[0]
+        dflops = (float(dcost.get("flops", 0.0)) / DET_ITERS) if dcost else 0.0
+    except Exception:
+        dflops = 0.0
+    dstate, dlosses = dcompiled(dstate, dbatch, jax.random.PRNGKey(6))
+    float(dlosses[-1])  # warm + completion fence
+    t0 = time.perf_counter()
+    dstate, dlosses = dcompiled(dstate, dbatch, jax.random.PRNGKey(6))
+    float(dlosses[-1])
+    dt = (time.perf_counter() - t0) / DET_ITERS
+    print(json.dumps({
+        "metric": "cascade_mit_b0_det_guided_1024_train",
+        "value": round(DET_BATCH / dt, 2),
+        "unit": "images/sec/chip",
+        "ms_per_step": round(dt * 1e3, 1),
+        "mfu": round(dflops / dt / PEAK_BF16, 4) if dflops else None,
+        "vs_baseline": None,
+    }))
+    del dstate, dcompiled
 
     # ---- slide inference, crop 1024^2 stride 768^2, canvas 1024x2048 ----
     ivars = {"params": state.params, "batch_stats": state.batch_stats}

@@ -86,6 +86,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="scene text segmentation")
     p.add_argument("config")
     p.add_argument("--test-only", action="store_true")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="resume from the latest periodic checkpoint in "
+                        "ckpt_dir (tools/train.py --auto-resume)")
     p.add_argument("--options", nargs="*", default=[])
     args = p.parse_args(argv)
     cfg = merge_cli_overrides(load_config(args.config), args.options)
@@ -111,7 +114,8 @@ def main(argv=None):
         # train_cfg=dict(det_loss_ratio=0.1) in the reference det configs
         det_loss_ratio=cfg.get("train_cfg", {}).get("det_loss_ratio", 0.1),
         gt_guided_masks=cfg.get("train_cfg", {}).get("gt_guided_masks",
-                                                     False))
+                                                     False),
+        auto_resume=args.auto_resume)
 
     if args.test_only:
         print(trainer.evaluate(0))

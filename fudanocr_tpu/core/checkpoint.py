@@ -50,13 +50,16 @@ def load_meta(path: str) -> Dict:
         return json.load(f)
 
 
-def latest(ckpt_dir: str) -> Optional[str]:
+def latest(ckpt_dir: str, prefix: str = "") -> Optional[str]:
     """Most recent checkpoint subdirectory (auto-resume support,
-    mmseg/apis/train.py:186-191 equivalent)."""
+    mmseg/apis/train.py:186-191 equivalent). `prefix` restricts the scan
+    (e.g. 'iter_' to skip a params-only 'best' checkpoint whose tree
+    would not match a full-state template)."""
     if not os.path.isdir(ckpt_dir):
         return None
     subs = [d for d in os.listdir(ckpt_dir)
             if os.path.isdir(os.path.join(ckpt_dir, d))
+            and d.startswith(prefix)
             and os.path.exists(os.path.join(ckpt_dir, d, "meta.json"))]
     if not subs:
         return None

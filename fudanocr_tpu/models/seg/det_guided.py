@@ -134,22 +134,34 @@ def nearest_resize_torch(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     return x[:, iy][:, :, ix]
 
 
-def region_attn_mask(region: jax.Array, hw: Tuple[int, int],
-                     sr_ratio: int) -> jax.Array:
-    """(B, H0, W0) region ids -> (B, 1, Lq, Lkv) ADDITIVE float mask for
-    the efficient attention at resolution `hw` with K/V reduced by
-    sr_ratio.
+def region_vectors(region: jax.Array, hw: Tuple[int, int],
+                   sr_ratio: int) -> Tuple[jax.Array, jax.Array]:
+    """(B, H0, W0) region ids -> ((B, Lq), (B, Lkv)) id vectors for the
+    efficient attention at resolution `hw` with K/V reduced by sr_ratio.
 
-    Matches calculate_mask (cascade_mit.py:4890-4896) exactly: pairs
-    whose region ids are EQUAL get -1e10 added to their score (the
-    reference suppresses same-region pairs; for a row whose pairs are all
-    suppressed the constant cancels in softmax, reproduced verbatim by
-    keeping the mask additive)."""
+    The O(Lq x Lkv) additive mask of calculate_mask
+    (cascade_mit.py:4890-4896) is a pure function of these two vectors
+    (id equality); the Pallas region kernel evaluates it per tile
+    in-kernel, so only the O(L) vectors are ever materialised."""
     b = region.shape[0]
     h, w = hw
     rq = nearest_resize_torch(region, (h, w)).reshape(b, -1)
     hk, wk = max(h // sr_ratio, 1), max(w // sr_ratio, 1)
     rkv = nearest_resize_torch(region, (hk, wk)).reshape(b, -1)
+    return rq, rkv
+
+
+def region_attn_mask(region: jax.Array, hw: Tuple[int, int],
+                     sr_ratio: int) -> jax.Array:
+    """(B, H0, W0) region ids -> (B, 1, Lq, Lkv) ADDITIVE float mask.
+
+    Matches calculate_mask (cascade_mit.py:4890-4896) exactly: pairs
+    whose region ids are EQUAL get -1e10 added to their score (the
+    reference suppresses same-region pairs; for a row whose pairs are all
+    suppressed the constant cancels in softmax, reproduced verbatim by
+    keeping the mask additive). Kept as the small-shape fallback and the
+    test oracle for the in-kernel mask of ops/region_attention.py."""
+    rq, rkv = region_vectors(region, hw, sr_ratio)
     same = rq[:, :, None] == rkv[:, None, :]
     return jnp.where(same, jnp.float32(-1e10),
                      jnp.float32(0.0))[:, None, :, :]
@@ -242,20 +254,22 @@ class CascadeMiTDetGuided(nn.Module):
             text_map = jax.lax.stop_gradient(soft_argmax(det_logits))
         inst_map = instance_labels(text_map)
 
-        # per-scale dual masked self-attention + gated fusion
+        # per-scale dual masked self-attention + gated fusion: the region
+        # maps travel as O(L) id VECTORS, masked via the in-kernel Pallas
+        # path (ops/region_attention.py) at large crops
         fused = []
         for i, f in enumerate(feats):
             hw = (f.shape[1], f.shape[2])
-            masks = {
-                "text": region_attn_mask(text_map, hw, self.sr_ratios[i]),
-                "inst": region_attn_mask(inst_map, hw, self.sr_ratios[i]),
+            regions = {
+                "text": region_vectors(text_map, hw, self.sr_ratios[i]),
+                "inst": region_vectors(inst_map, hw, self.sr_ratios[i]),
             }
             branches = {}
             for kind in ("text", "inst"):
                 y = TransformerEncoderLayer(
                     nh[i], self.mlp_ratio, self.sr_ratios[i], 0.0,
                     dtype=self.dtype, name=f"{kind}_sa_{i+1}")(
-                        f, deterministic, masks[kind])
+                        f, deterministic, region=regions[kind])
                 y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
                                  name=f"{kind}_sa_bn_{i+1}")(y)

@@ -53,7 +53,12 @@ def make_seg_optimizer(params, base_lr: float = 6e-5,
         return jax.tree_util.tree_map(lambda p: p.ndim > 1, tree)
 
     def head_labels(tree):
-        return {k: ("head" if "head" in k.lower() else "backbone")
+        # the lr x10 rule applies to the DECODE HEAD subtree specifically
+        # (textformer configs paramwise_cfg head_lr_mult); an earlier
+        # substring match on "head" would silently misroute any future
+        # nesting that happened to contain the word
+        return {k: ("head" if k in ("decode_head", "auxiliary_head")
+                    else "backbone")
                 for k in tree.keys()}
 
     def adamw(mult):
@@ -217,7 +222,9 @@ class SegTrainer:
                  stride: Optional[Tuple[int, int]] = None,
                  ckpt_dir: Optional[str] = None, mesh=None, seed: int = 0,
                  log_dir: Optional[str] = None, det_loss_ratio: float = 0.1,
-                 gt_guided_masks: bool = False):
+                 gt_guided_masks: bool = False,
+                 ckpt_every: Optional[int] = None, auto_resume: bool = False,
+                 max_keep: int = 3):
         self.model = model
         self.train_data = train_data
         self.eval_data = eval_data
@@ -228,8 +235,14 @@ class SegTrainer:
         self.crop = crop
         self.stride = stride
         self.ckpt_dir = ckpt_dir
+        self.ckpt_every = ckpt_every or eval_every
+        self.max_keep = max_keep
         self.mesh = mesh or make_mesh_for_batch(batch_size)
-        self.rng = jax.random.PRNGKey(seed)
+        # per-iteration rng is FOLDED from the base key (not split
+        # sequentially) so a resumed run regenerates the exact dropout
+        # stream of the uninterrupted one
+        self.base_rng = jax.random.PRNGKey(seed)
+        self.start_iter = 0
 
         first = next(iter(train_data.batches(batch_size)))
         variables = model.init(jax.random.PRNGKey(seed),
@@ -246,15 +259,53 @@ class SegTrainer:
         if log_dir:
             from fudanocr_tpu.core.logging import MetricsLogger
             self.metrics_logger = MetricsLogger(log_dir)
+        if auto_resume and ckpt_dir:
+            path = ckpt_lib.latest(ckpt_dir, prefix="iter_")
+            if path:
+                self.resume(path)
+
+    def resume(self, ckpt_path: str):
+        """Restore FULL training state (params, batch_stats, optimizer,
+        step, best) from a periodic checkpoint — the runner resume_from /
+        --auto-resume semantics (mmseg/apis/train.py:186-193)."""
+        tree = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state}
+        loaded = ckpt_lib.load(ckpt_path, tree)
+        meta = ckpt_lib.load_meta(ckpt_path)
+        step = int(meta.get("step", 0))
+        self.state = self.state.replace(
+            params=loaded["params"], batch_stats=loaded["batch_stats"],
+            opt_state=loaded["opt_state"],
+            step=jnp.asarray(step, jnp.int32))
+        self.best = float(meta.get("best", -1.0))
+        self.start_iter = step
+        log.info("resumed from %s at iter %d", ckpt_path, step)
+
+    def _save_periodic(self, it: int):
+        ckpt_lib.save(f"{self.ckpt_dir}/iter_{it}",
+                      {"params": self.state.params,
+                       "batch_stats": self.state.batch_stats,
+                       "opt_state": self.state.opt_state},
+                      meta={"step": it, "best": self.best})
+        # CheckpointHook max_keep_ckpts: prune the oldest periodic dirs
+        import os
+        import shutil
+        subs = sorted((d for d in os.listdir(self.ckpt_dir)
+                       if d.startswith("iter_")),
+                      key=lambda d: int(d[5:]))
+        for d in subs[:-self.max_keep]:
+            shutil.rmtree(os.path.join(self.ckpt_dir, d),
+                          ignore_errors=True)
 
     def train(self):
-        it = 0
+        it = self.start_iter
         while it < self.total_iters:
             for batch in self.train_data.batches(self.batch_size,
                                                  shuffle=True, seed=it):
                 if it >= self.total_iters:
                     break
-                self.rng, rng = jax.random.split(self.rng)
+                rng = jax.random.fold_in(self.base_rng, it)
                 self.state, metrics = self.train_step(
                     self.state,
                     {k: jnp.asarray(v) for k, v in batch.items()}, rng)
@@ -266,23 +317,32 @@ class SegTrainer:
                         self.metrics_logger.scalars(m, it, "train/")
                 if it % self.eval_every == 0:
                     self.evaluate(it)
+                if self.ckpt_dir and it % self.ckpt_every == 0:
+                    self._save_periodic(it)
         return self.state
 
     def evaluate(self, it: int = 0) -> Dict[str, float]:
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
 
-        def fwd(img):
-            out = self.model.apply(variables, img)
-            return out[0] if isinstance(out, tuple) else out
+        if getattr(self, "_eval_fn", None) is None:
+            # jit ONCE per trainer (variables as an argument, both so the
+            # 160 eval points of a 160k run don't each pay a retrace and
+            # so the weights aren't baked into the serialized module —
+            # the axon remote-compile rejects constant-heavy payloads)
+            def fwd(variables, img):
+                out = self.model.apply(variables, img)
+                return out[0] if isinstance(out, tuple) else out
 
-        def infer(img):
-            if self.crop is not None:
-                return slide_inference(fwd, img, self.crop,
-                                       self.stride or self.crop)
-            return fwd(img)
+            def infer(variables, img):
+                if self.crop is not None:
+                    return slide_inference(
+                        lambda p: fwd(variables, p), img, self.crop,
+                        self.stride or self.crop)
+                return fwd(variables, img)
 
-        infer = jax.jit(infer)
+            self._eval_fn = jax.jit(infer)
+        infer = lambda img: self._eval_fn(variables, img)
         hist = np.zeros((4, self.num_classes), np.float64)
         for bi, batch in enumerate(self.eval_data.batches(self.batch_size)):
             logits = infer(jnp.asarray(batch["img"]))
