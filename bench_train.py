@@ -96,6 +96,35 @@ def main():
         "gflops_per_step": round(step_flops / 1e9, 1),
         "xla_flops_scan_body": xla_flops(compiled),
         "vs_baseline": None,
+    }), flush=True)
+
+    # ---- cached-oracle variant: the frozen oracle's HR branch is a
+    # constant per sample, so SRTrainer precomputes it once per sample
+    # (train/sr.py:_hr_map) and the steady-state step skips that forward
+    # entirely — this is the sustained epoch>=1 rate ----
+    hr_map = jax.jit(loss_fn.hr_oracle_map)(hr, jnp.asarray(text_input))
+    cbatch = dict(batch, hr_map=hr_map)
+    state2 = TrainState.create(variables["params"],
+                               variables.get("batch_stats", {}),
+                               adam_with_clip(1e-4))
+    ccompiled = jax.jit(chain, donate_argnums=(0,)).lower(
+        state2, cbatch, rng).compile()
+    cflops = analytic_flops(raw_step, state2, cbatch,
+                            jax.random.PRNGKey(9))["flops"]
+    state2, losses = ccompiled(state2, cbatch, rng)
+    float(losses[-1])
+    t0 = time.perf_counter()
+    state2, losses = ccompiled(state2, cbatch, rng)
+    float(losses[-1])
+    dt = (time.perf_counter() - t0) / ITERS
+    print(json.dumps({
+        "metric": "tbsrn_textzoom_train_step_cached_oracle",
+        "value": round(BATCH / dt, 1),
+        "unit": "images/sec/chip",
+        "ms_per_step": round(dt * 1e3, 1),
+        "mfu": round(mfu_of(cflops, dt), 4),
+        "gflops_per_step": round(cflops / 1e9, 1),
+        "vs_baseline": None,
     }))
 
 

@@ -124,23 +124,36 @@ class TextFocusLoss:
                              else jnp.asarray(weight_table))
         self.text_focus = text_focus
 
+    def hr_oracle_map(self, hr: jax.Array, text_input: jax.Array) -> jax.Array:
+        """The HR branch of the loss: the frozen oracle's attention map on
+        the CONSTANT (hr, text_input) pair. Because the oracle never
+        trains, this is a pure function of the sample — callers may
+        compute it once per sample and feed it back as `hr_map`, removing
+        the dominant oracle forward from every subsequent train step
+        (the reference recomputes it each step, text_focus_loss.py:84-99
+        — beating that is the point)."""
+        return self.oracle.apply(self.oracle_vars, to_gray(hr),
+                                 text_input)["map"]
+
     def __call__(self, sr: jax.Array, hr: jax.Array, text_input: jax.Array,
-                 text_gt: jax.Array, lengths: jax.Array
+                 text_gt: jax.Array, lengths: jax.Array,
+                 hr_map: Optional[jax.Array] = None
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         mse = jnp.mean((sr.astype(jnp.float32) - hr.astype(jnp.float32)) ** 2)
         if not self.text_focus:
             return mse, {"mse": mse}
 
-        hr_out = self.oracle.apply(self.oracle_vars, to_gray(hr), text_input)
+        if hr_map is None:
+            hr_map = self.hr_oracle_map(hr, text_input)
         sr_out = self.oracle.apply(self.oracle_vars, to_gray(sr), text_input)
 
         l = text_gt.shape[1]
         mask = (jnp.arange(l)[None, :] < lengths[:, None])
         map_mask = mask[:, None, :, None].astype(jnp.float32)  # (B,1,L,1)
-        map_diff = jnp.abs(hr_out["map"].astype(jnp.float32)
+        map_diff = jnp.abs(hr_map.astype(jnp.float32)
                            - sr_out["map"].astype(jnp.float32)) * map_mask
-        denom = jnp.maximum(jnp.sum(map_mask), 1.0) * hr_out["map"].shape[1] \
-            * hr_out["map"].shape[3]
+        denom = jnp.maximum(jnp.sum(map_mask), 1.0) * hr_map.shape[1] \
+            * hr_map.shape[3]
         attention_loss = jnp.sum(map_diff) / denom
 
         recognition_loss = weighted_cross_entropy(

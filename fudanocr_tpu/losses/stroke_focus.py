@@ -10,7 +10,7 @@ encoder, mirroring transformer_english_decomposition.py.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,23 +26,31 @@ class StrokeFocusLoss:
         self.stroke_lambda = stroke_lambda
         self.text_focus = text_focus
 
+    def hr_oracle_map(self, hr: jax.Array, text_input: jax.Array) -> jax.Array:
+        """Frozen-oracle HR attention map — cacheable per sample, see
+        TextFocusLoss.hr_oracle_map."""
+        return self.oracle.apply(self.oracle_vars, to_gray(hr),
+                                 text_input)["map"]
+
     def __call__(self, sr: jax.Array, hr: jax.Array, text_input: jax.Array,
-                 text_gt: jax.Array, lengths: jax.Array
+                 text_gt: jax.Array, lengths: jax.Array,
+                 hr_map: Optional[jax.Array] = None
                  ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         mse = jnp.mean((sr.astype(jnp.float32) - hr.astype(jnp.float32)) ** 2)
         if not self.text_focus:
             return mse, {"mse": mse}
 
-        hr_out = self.oracle.apply(self.oracle_vars, to_gray(hr), text_input)
+        if hr_map is None:
+            hr_map = self.hr_oracle_map(hr, text_input)
         sr_out = self.oracle.apply(self.oracle_vars, to_gray(sr), text_input)
 
         l = text_gt.shape[1]
         mask = (jnp.arange(l)[None, :] < lengths[:, None])
         map_mask = mask[:, None, :, None].astype(jnp.float32)
-        diff = jnp.abs(hr_out["map"].astype(jnp.float32)
+        diff = jnp.abs(hr_map.astype(jnp.float32)
                        - sr_out["map"].astype(jnp.float32)) * map_mask
-        denom = jnp.maximum(jnp.sum(map_mask), 1.0) * hr_out["map"].shape[1] \
-            * hr_out["map"].shape[3]
+        denom = jnp.maximum(jnp.sum(map_mask), 1.0) * hr_map.shape[1] \
+            * hr_map.shape[3]
         attention_loss = jnp.sum(diff) / denom
 
         total = mse + attention_loss * self.stroke_lambda

@@ -47,8 +47,13 @@ def make_sr_train_step(model, loss_fn, mesh, loss_scale: float = 100.0,
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["lr"], train=True, mutable=["batch_stats"],
                 rngs={"dropout": rng})
+            # a precomputed frozen-oracle HR map ("hr_map" in the batch)
+            # removes the dominant oracle forward from the step — the
+            # presence of the key is jit-static, so each variant compiles
+            # once
+            extra = ({"hr_map": batch["hr_map"]} if "hr_map" in batch else {})
             loss, aux = loss_fn(sr, batch["hr"], batch["text_input"],
-                                batch["text_gt"], batch["lengths"])
+                                batch["text_gt"], batch["lengths"], **extra)
             return loss * loss_scale, (aux, mutated["batch_stats"])
 
         (loss, (aux, new_bs)), grads = jax.value_and_grad(
@@ -58,14 +63,20 @@ def make_sr_train_step(model, loss_fn, mesh, loss_scale: float = 100.0,
 
     if not wrap_jit:
         return step
-    return jax.jit(
-        step,
-        in_shardings=(None,
-                      {k: batch_sharding for k in
-                       ("hr", "lr", "text_input", "text_gt", "lengths")},
-                      replicated),
-        donate_argnums=(0,),
-    )
+
+    def shardings(batch):
+        return (None, {k: batch_sharding for k in batch}, replicated)
+
+    jitted = {}
+
+    def dispatch(state, batch, rng):
+        key = tuple(sorted(batch))
+        if key not in jitted:
+            jitted[key] = jax.jit(step, in_shardings=shardings(batch),
+                                  donate_argnums=(0,))
+        return jitted[key](state, batch, rng)
+
+    return dispatch
 
 
 def make_sr_eval_step(model, mesh, recognizer=None):
@@ -130,6 +141,18 @@ class SRTrainer:
                                        adam_with_clip(lr))
         self.train_step = make_sr_train_step(model, loss_fn, self.mesh)
         self.eval_step = make_sr_eval_step(model, self.mesh, recognizer)
+        # frozen-oracle HR maps are constants per sample: cache them in
+        # host RAM across epochs (keyed by batch ordinal — iteration order
+        # is deterministic) so steps after epoch 0 skip the HR oracle
+        # forward entirely. ~64 KB/sample; capped below.
+        self._use_hr_cache = (
+            hasattr(loss_fn, "hr_oracle_map")
+            and getattr(loss_fn, "text_focus", False)
+            and getattr(loss_fn, "oracle", None) is not None)
+        self._hr_map_fn = None
+        self._hr_map_cache: Dict[int, np.ndarray] = {}
+        self._hr_cache_bytes = 0
+        self.hr_cache_cap_bytes = 4 << 30
         self.history = []
         self.best = {"acc": -1.0, "psnr": -1.0}
         self.metrics_logger = None
@@ -150,6 +173,22 @@ class SRTrainer:
     def _batches(self, data):
         return data.batches(self.batch_size)
 
+    def _hr_map(self, ordinal: int, batch) -> jax.Array:
+        """Cached frozen-oracle HR attention map for the batch at this
+        epoch ordinal (see __init__; parity test in
+        tests/test_sr_train_smoke.py)."""
+        cached = self._hr_map_cache.get(ordinal)
+        if cached is not None:
+            return jnp.asarray(cached)
+        if self._hr_map_fn is None:
+            self._hr_map_fn = jax.jit(self.loss_fn.hr_oracle_map)
+        m = self._hr_map_fn(batch["hr"], batch["text_input"])
+        if self._hr_cache_bytes < self.hr_cache_cap_bytes:
+            host = np.asarray(m)
+            self._hr_map_cache[ordinal] = host
+            self._hr_cache_bytes += host.nbytes
+        return m
+
     def _device_batch(self, hr, lr, labels):
         text_input, text_gt, lengths = encode_text_labels(
             labels, self.max_label_len)
@@ -168,7 +207,10 @@ class SRTrainer:
             # background thread while the device executes (SURVEY.md §7.7)
             batches = prefetch(self._batches(self.train_data),
                                transform=lambda b: self._device_batch(*b))
-            for batch in batches:
+            for bi, batch in enumerate(batches):
+                if self._use_hr_cache:
+                    batch = dict(batch)
+                    batch["hr_map"] = self._hr_map(bi, batch)
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self.train_step(self.state, batch,
                                                       step_rng)
