@@ -35,7 +35,7 @@ def main():
                   srb_nums=5, hidden_units=32, dtype=jnp.bfloat16)
     x0 = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, 16, 64, 3),
                             jnp.float32)
-    variables = model.init(jax.random.PRNGKey(1), x0)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x0)
 
     # The remote-TPU tunnel makes per-dispatch host timing unreliable
     # (async futures + network roundtrips), so the iteration loop runs

@@ -44,7 +44,8 @@ def main():
     img = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, 32, 32, 3))
     text = jnp.zeros((BATCH, MAX_LEN), jnp.int32)
     lengths = jnp.full((BATCH,), MAX_LEN, jnp.int32)
-    variables = model.init(jax.random.PRNGKey(1), img, text, train=True)
+    variables = jax.jit(model.init, static_argnames=('train',))(
+        jax.random.PRNGKey(1), img, text, train=True)
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}),
                               optax.adadelta(1.0, rho=0.9, eps=1e-6))

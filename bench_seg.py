@@ -68,7 +68,8 @@ def main():
     img = jax.random.uniform(jax.random.PRNGKey(0),
                              (TRAIN_BATCH, 512, 512, 3), jnp.float32)
     gt = jnp.zeros((TRAIN_BATCH, 512, 512), jnp.int32)
-    variables = model.init(jax.random.PRNGKey(1), img, train=True)
+    variables = jax.jit(model.init, static_argnames=('train',))(
+        jax.random.PRNGKey(1), img, train=True)
     mesh = make_mesh_for_batch(TRAIN_BATCH)
     tx = make_seg_optimizer(variables["params"])
     state = TrainState.create(variables["params"],

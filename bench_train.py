@@ -35,14 +35,15 @@ def main():
                   srb_nums=5, hidden_units=32, dtype=jnp.bfloat16)
     lr = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, 16, 64, 3))
     hr = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 32, 128, 3))
-    variables = model.init(jax.random.PRNGKey(2), lr, train=True)
+    variables = jax.jit(model.init, static_argnames=('train',))(
+        jax.random.PRNGKey(2), lr, train=True)
 
     # frozen text-focus oracle at the reference scale (loss/transformer.py:
     # 348: ResNet [1,2,5,3], d=1024, 16 heads)
     oracle = OCRTransformer(vocab=37, num_in=1, layers=(1, 2, 5, 3),
                             num_heads=16, dtype=jnp.bfloat16)
     text_input, text_gt, lengths = encode_text_labels(["bench"] * BATCH, 16)
-    oracle_vars = oracle.init(jax.random.PRNGKey(3),
+    oracle_vars = jax.jit(oracle.init)(jax.random.PRNGKey(3),
                               jnp.ones((BATCH, 32, 128, 1)),
                               jnp.asarray(text_input))
     loss_fn = TextFocusLoss(oracle, oracle_vars, text_focus=True)

@@ -26,14 +26,21 @@ def build_data(cfg, train: bool):
     crop = tuple(d.crop_size)
     train_pipeline = [
         pp.LoadImageFromFile(),
-        pp.Resize((crop[1] * 2, crop[0] * 2), (0.5, 2.0)),
+        # keep_ratio aspect-preserving rescale + reference train padding
+        # (seg_pad_val=0: padded pixels are BACKGROUND in the loss, as in
+        # configs/_base_/datasets/BTS.py:10,15); both config-overridable
+        pp.Resize((crop[1] * 2, crop[0] * 2), (0.5, 2.0),
+                  keep_ratio=d.get("keep_ratio", True)),
         pp.RandomCrop(crop),
         pp.RandomFlip(0.5),
         pp.PhotoMetricDistortion(),
         pp.Normalize(),
-        pp.Pad(crop),
+        pp.Pad(crop, seg_pad_val=d.get("seg_pad_val", 0)),
     ]
-    test_pipeline = [pp.LoadImageFromFile(), pp.Normalize(), pp.Pad(crop)]
+    # eval pads stay IGNORED (255): the reference evaluates at original
+    # resolution without padding, so padded pixels must not count
+    test_pipeline = [pp.LoadImageFromFile(), pp.Normalize(),
+                     pp.Pad(crop, seg_pad_val=255)]
     pipeline = train_pipeline if train else test_pipeline
 
     if d.dataset == "synthetic" or not d.img_dir:

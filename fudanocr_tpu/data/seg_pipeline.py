@@ -113,19 +113,41 @@ REMAPS = {
 
 
 class Resize:
-    """Ratio-range random resize (transforms.py Resize with ratio_range)."""
+    """Ratio-range random resize (transforms.py Resize:183-207,247-283).
+
+    `keep_ratio=True` (the mmseg default every reference config relies
+    on) follows mmcv.imrescale: the sampled scale box
+    (img_scale[0]*ratio, img_scale[1]*ratio) bounds the LONG and SHORT
+    edges and the image is rescaled by ONE factor
+    min(long/max(h,w), short/min(h,w)) — each image keeps its own aspect
+    ratio. `keep_ratio=False` is the old direct (w, h) resize."""
 
     def __init__(self, img_scale: Tuple[int, int],
                  ratio_range: Tuple[float, float] = (0.5, 2.0),
+                 keep_ratio: bool = True,
                  rng: Optional[random.Random] = None):
         self.img_scale = img_scale
         self.ratio_range = ratio_range
+        self.keep_ratio = keep_ratio
         self.rng = rng or random
+
+    def target_size(self, hw: Tuple[int, int], ratio: float
+                    ) -> Tuple[int, int]:
+        """(h, w) in -> (h', w') out for a sampled ratio (testable
+        geometry rule)."""
+        sw = int(self.img_scale[0] * ratio)
+        sh = int(self.img_scale[1] * ratio)
+        if not self.keep_ratio:
+            return max(sh, 1), max(sw, 1)
+        h, w = hw
+        long_edge, short_edge = max(sw, sh), min(sw, sh)
+        f = min(long_edge / max(h, w), short_edge / min(h, w))
+        # mmcv._scale_size rounding: int(dim * f + 0.5)
+        return max(int(h * f + 0.5), 1), max(int(w * f + 0.5), 1)
 
     def __call__(self, sample: Sample) -> Sample:
         ratio = self.rng.uniform(*self.ratio_range)
-        w = max(int(self.img_scale[0] * ratio), 1)
-        h = max(int(self.img_scale[1] * ratio), 1)
+        h, w = self.target_size(sample["img"].shape[:2], ratio)
         img = Image.fromarray(sample["img"]).resize((w, h), Image.BILINEAR)
         sample["img"] = np.asarray(img)
         for key in SEG_FIELDS:
@@ -189,7 +211,10 @@ class RandomFlip:
 
 
 class PhotoMetricDistortion:
-    """brightness/contrast/saturation/hue jitter (transforms.py)."""
+    """brightness/contrast/saturation/hue jitter
+    (transforms.py:862-975): each op applies with prob 1/2, and a mode
+    coin decides whether CONTRAST runs before (mode 1) or after (mode 0)
+    the saturation/hue pair — the reference's contrast-first/last split."""
 
     def __init__(self, brightness_delta: int = 32,
                  contrast_range=(0.5, 1.5), saturation_range=(0.5, 1.5),
@@ -200,12 +225,18 @@ class PhotoMetricDistortion:
         self.hd = hue_delta
         self.rng = rng or random
 
-    def __call__(self, sample: Sample) -> Sample:
-        img = sample["img"].astype(np.float32)
-        if self.rng.random() < 0.5:
-            img = img + self.rng.uniform(-self.bd, self.bd)
+    def _contrast(self, img):
         if self.rng.random() < 0.5:
             img = img * self.rng.uniform(*self.cr)
+        return img
+
+    def __call__(self, sample: Sample) -> Sample:
+        img = sample["img"].astype(np.float32)
+        if self.rng.random() < 0.5:          # brightness
+            img = img + self.rng.uniform(-self.bd, self.bd)
+        mode = self.rng.random() < 0.5       # randint(2) of the reference
+        if mode:
+            img = self._contrast(img)
         # saturation/hue via HSV
         if self.rng.random() < 0.5:
             import cv2
@@ -216,6 +247,8 @@ class PhotoMetricDistortion:
                            + self.rng.uniform(-self.hd, self.hd)) % 180
             img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
                                cv2.COLOR_HSV2RGB).astype(np.float32)
+        if not mode:
+            img = self._contrast(img)
         sample["img"] = np.clip(img, 0, 255).astype(np.uint8)
         return sample
 
@@ -233,11 +266,18 @@ class Normalize:
 
 
 class Pad:
-    """Pad to a fixed size (img with 0, seg with ignore_index)."""
+    """Pad to a fixed size (transforms.py Pad). The reference configs set
+    `pad_val=0, seg_pad_val=0` for TRAIN (padded pixels count as
+    BACKGROUND in the loss — configs/_base_/datasets/BTS.py:15); pass
+    seg_pad_val=255 to make padding ignored instead."""
 
-    def __init__(self, size: Tuple[int, int], ignore_index: int = 255):
+    def __init__(self, size: Tuple[int, int], pad_val: float = 0,
+                 seg_pad_val: int = 0, ignore_index: Optional[int] = None):
         self.size = size
-        self.ignore_index = ignore_index
+        self.pad_val = pad_val
+        # ignore_index kept as a deprecated alias of seg_pad_val
+        self.seg_pad_val = (ignore_index if ignore_index is not None
+                            else seg_pad_val)
 
     def __call__(self, sample: Sample) -> Sample:
         h, w = sample["img"].shape[:2]
@@ -245,10 +285,11 @@ class Pad:
         pw = max(self.size[1] - w, 0)
         if ph or pw:
             sample["img"] = np.pad(sample["img"],
-                                   ((0, ph), (0, pw), (0, 0)))
+                                   ((0, ph), (0, pw), (0, 0)),
+                                   constant_values=self.pad_val)
             for key in SEG_FIELDS:
                 if key in sample:
                     sample[key] = np.pad(
                         sample[key], ((0, ph), (0, pw)),
-                        constant_values=self.ignore_index)
+                        constant_values=self.seg_pad_val)
         return sample

@@ -192,6 +192,85 @@ def _module(name, **attrs):
     return m
 
 
+def _scale_size(size, factor):
+    w, h = size
+    return int(w * factor + 0.5), int(h * factor + 0.5)
+
+
+def rescale_size(old_size, scale, return_scale=False):
+    """mmcv.image.geometric.rescale_size semantics: tuple scale bounds the
+    long/short edges, aspect ratio preserved."""
+    w, h = old_size
+    if isinstance(scale, (float, int)):
+        scale_factor = scale
+    else:
+        max_long_edge = max(scale)
+        max_short_edge = min(scale)
+        scale_factor = min(max_long_edge / max(h, w),
+                           max_short_edge / min(h, w))
+    new_size = _scale_size((w, h), scale_factor)
+    return (new_size, scale_factor) if return_scale else new_size
+
+
+def imresize(img, size, return_scale=False, interpolation="bilinear"):
+    import numpy as np
+    from PIL import Image
+
+    resample = (Image.NEAREST if interpolation == "nearest"
+                else Image.BILINEAR)
+    out = np.asarray(Image.fromarray(img).resize(size, resample))
+    if not return_scale:
+        return out
+    h, w = img.shape[:2]
+    return out, size[0] / w, size[1] / h
+
+
+def imrescale(img, scale, return_scale=False, interpolation="bilinear"):
+    h, w = img.shape[:2]
+    new_size, factor = rescale_size((w, h), scale, return_scale=True)
+    out = imresize(img, new_size, interpolation=interpolation)
+    return (out, factor) if return_scale else out
+
+
+def impad(img, *, shape=None, padding=None, pad_val=0, padding_mode="constant"):
+    import numpy as np
+
+    if shape is not None:
+        ph = max(shape[0] - img.shape[0], 0)
+        pw = max(shape[1] - img.shape[1], 0)
+        padding = (0, 0, pw, ph)
+    left, top, right, bottom = padding
+    pads = ((top, bottom), (left, right)) + ((0, 0),) * (img.ndim - 2)
+    return np.pad(img, pads, constant_values=pad_val)
+
+
+def impad_to_multiple(img, divisor, pad_val=0):
+    import math
+    h = int(math.ceil(img.shape[0] / divisor)) * divisor
+    w = int(math.ceil(img.shape[1] / divisor)) * divisor
+    return impad(img, shape=(h, w), pad_val=pad_val)
+
+
+def bgr2hsv(img):
+    import cv2
+    return cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+
+
+def hsv2bgr(img):
+    import cv2
+    return cv2.cvtColor(img, cv2.COLOR_HSV2BGR)
+
+
+def is_tuple_of(seq, expected_type):
+    return isinstance(seq, tuple) and all(
+        isinstance(s, expected_type) for s in seq)
+
+
+def is_list_of(seq, expected_type):
+    return isinstance(seq, list) and all(
+        isinstance(s, expected_type) for s in seq)
+
+
 def _load_file(modname, path):
     spec = importlib.util.spec_from_file_location(modname, path)
     mod = importlib.util.module_from_spec(spec)
@@ -267,3 +346,31 @@ def install():
                                segformer_head=segformer_head)
     _installed["ns"] = ns
     return ns
+
+
+def load_transforms():
+    """Load the VENDORED reference data pipeline
+    (mmseg/datasets/pipelines/transforms.py) against the shim — the parity
+    oracle for fudanocr_tpu.data.seg_pipeline geometry (Resize keep_ratio,
+    Pad pad_val/seg_pad_val). Idempotent."""
+    if "transforms" in _installed:
+        return _installed["transforms"]
+    install()
+    mmcv_mod = sys.modules["mmcv"]
+    for name, fn in (("imresize", imresize), ("imrescale", imrescale),
+                     ("impad", impad),
+                     ("impad_to_multiple", impad_to_multiple),
+                     ("bgr2hsv", bgr2hsv), ("hsv2bgr", hsv2bgr),
+                     ("is_list_of", is_list_of)):
+        setattr(mmcv_mod, name, fn)
+    utils = sys.modules["mmcv.utils"]
+    utils.deprecated_api_warning = _identity_decorator
+    utils.is_tuple_of = is_tuple_of
+    _module("mmseg.datasets")
+    _module("mmseg.datasets.builder", PIPELINES=_Registry())
+    _module("mmseg.datasets.pipelines")
+    transforms = _load_file(
+        "mmseg.datasets.pipelines.transforms",
+        f"{REF_SEG}/mmseg/datasets/pipelines/transforms.py")
+    _installed["transforms"] = transforms
+    return transforms

@@ -137,7 +137,7 @@ def test_pipeline_label_remap_and_pad():
                                           "gt_seg": seg})
     np.testing.assert_array_equal(out["gt_seg"], [[0, 1], [255, 0]])
 
-    padded = Pad((4, 4))(out)
+    padded = Pad((4, 4), seg_pad_val=255)(out)
     assert padded["img"].shape == (4, 4, 3)
     assert padded["gt_seg"].shape == (4, 4)
     assert padded["gt_seg"][3, 3] == 255  # pad with ignore
@@ -188,7 +188,7 @@ def test_det_annotation_loading_and_geometry(tmp_path):
     ds = SegDataset(str(tmp_path / "img"), str(tmp_path / "ann"),
                     [pp.LoadImageFromFile(),
                      pp.LoadAnnotations(pp.remap_textseg),
-                     pp.Pad((16, 16))],
+                     pp.Pad((16, 16), seg_pad_val=255)],
                     det_dir=str(tmp_path / "det"))
     s = ds[0]
     assert s["gt_det"].shape == (16, 16)
