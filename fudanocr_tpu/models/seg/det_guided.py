@@ -112,8 +112,11 @@ def instance_labels(text_map: jax.Array) -> jax.Array:
     """(B, H, W) float {0,1} -> (B, H, W) instance-id map.
 
     Host OpenCV contour filling (the reference's exact algorithm,
-    cascade_mit.py:4943-4951) when the backend supports callbacks;
-    otherwise the device-side labeling above."""
+    cascade_mit.py:4943-4951, and the oracle the port-parity tests
+    compare against) when the backend supports callbacks; otherwise the
+    device-side labeling above. Under SPMD the callback costs a gather
+    onto device 0 (the partitioner warns) but stays correct; the axon
+    tunnel rejects pure_callback outright and takes the device path."""
     if not _host_callbacks_supported():
         return instance_labels_device(text_map)
     return jax.pure_callback(
