@@ -100,6 +100,15 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg = merge_cli_overrides(load_config(args.config), args.options)
 
+    # env report + host-threading knobs at startup (tools/train.py does
+    # collect_env + setup_multi_processes before building anything)
+    from fudanocr_tpu.core.runtime_env import setup_multi_processes
+    from fudanocr_tpu.utils.collect_env import collect_env
+
+    setup_multi_processes(cfg)
+    for k, v in collect_env().items():
+        log.info("%s: %s", k, v)
+
     from fudanocr_tpu.train.seg import SegTrainer
 
     model = build_model(cfg)

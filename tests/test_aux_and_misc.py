@@ -178,6 +178,58 @@ def test_guard_run_dir(tmp_path):
     assert guard_run_dir(run, resume=True)       # resume always proceeds
 
 
+def test_encoding_layer_port_parity():
+    """flax Encoding vs the reference torch Encoding
+    (mmseg/ops/encoding.py:8-74) with identical codewords/scales."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_encoding", "/root/reference/text-focused-Transformers/"
+        "mmseg/ops/encoding.py")
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+
+    from fudanocr_tpu.models.seg.encoding import Encoding
+
+    b, h, w, c, k = 2, 4, 5, 8, 6
+    x = np.random.default_rng(0).standard_normal((b, h, w, c)).astype(
+        np.float32)
+    enc = Encoding(channels=c, num_codes=k)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ref = ref_mod.Encoding(c, k)
+    with torch.no_grad():
+        ref.codewords.copy_(torch.from_numpy(
+            np.asarray(variables["params"]["codewords"])))
+        ref.scale.copy_(torch.from_numpy(
+            np.asarray(variables["params"]["scale"])))
+        want = ref(torch.from_numpy(
+            x.transpose(0, 3, 1, 2).copy())).numpy()
+    got = enc.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+
+def test_collect_env_and_setup_multi_processes():
+    from fudanocr_tpu.core.runtime_env import setup_multi_processes
+    from fudanocr_tpu.utils.collect_env import collect_env
+
+    info = collect_env()
+    assert "JAX" in info and "Python" in info
+
+    class Cfg(dict):
+        pass
+
+    setup_multi_processes(Cfg(opencv_num_threads=1))  # no raise
+    try:
+        import cv2
+        assert cv2.getNumThreads() == 1
+    except ImportError:
+        pass
+
+
 def test_serving_submit_close_race_rejected():
     """A submit after close() must raise, never strand a Future."""
     import numpy as np
