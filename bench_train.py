@@ -105,9 +105,10 @@ def main():
     # entirely — this is the sustained epoch>=1 rate ----
     hr_map = jax.jit(loss_fn.hr_oracle_map)(hr, jnp.asarray(text_input))
     cbatch = dict(batch, hr_map=hr_map)
-    state2 = TrainState.create(variables["params"],
-                               variables.get("batch_stats", {}),
-                               adam_with_clip(1e-4))
+    # continue from the live `state` returned above — the original
+    # variables' buffers were DONATED into the first chain call and no
+    # longer exist
+    state2 = state
     ccompiled = jax.jit(chain, donate_argnums=(0,)).lower(
         state2, cbatch, rng).compile()
     cflops = analytic_flops(raw_step, state2, cbatch,

@@ -48,7 +48,8 @@ def main(argv=None):
 
         from fudanocr_tpu.eval.seg_metrics import (intersect_and_union,
                                                    total_metrics)
-        from fudanocr_tpu.models.seg.encoder_decoder import tta_inference
+        from fudanocr_tpu.models.seg.encoder_decoder import (slide_inference,
+                                                             tta_inference)
 
         variables = {"params": trainer.state.params,
                      "batch_stats": trainer.state.batch_stats}
@@ -57,7 +58,18 @@ def main(argv=None):
             out = model.apply(variables, x)
             return out[0] if isinstance(out, tuple) else out
 
-        infer = jax.jit(lambda img: tta_inference(fwd, img,
+        # each TTA variant goes through SLIDE at the configured
+        # crop/stride when test.mode == slide — MultiScaleFlipAug wraps
+        # the slide test exactly so in the reference (test_cfg mode=
+        # 'slide', crop 1024^2 / stride 768^2 in every textformer config)
+        if cfg.test.mode == "slide":
+            crop = tuple(cfg.test.crop)
+            stride = tuple(cfg.test.stride)
+            scale_fwd = lambda x: slide_inference(fwd, x, crop, stride)
+        else:
+            scale_fwd = fwd
+
+        infer = jax.jit(lambda img: tta_inference(scale_fwd, img,
                                                   scales=(0.75, 1.0, 1.25)))
         hist = np.zeros((4, cfg.model.decode_head.num_classes), np.float64)
         for batch in eval_data.batches(cfg.data.batch_size):
@@ -71,9 +83,13 @@ def main(argv=None):
                                         cfg.model.decode_head.num_classes)
             hist += np.stack([np.asarray(s) for s in stats])
         res = total_metrics(*hist)
-        print({k: res[k] for k in ("aAcc", "mIoU", "mDice", "mFscore")})
+        res = {k: res[k] for k in ("aAcc", "mIoU", "mDice", "mFscore")}
+        print(res)
+        return res
     else:
-        print(trainer.evaluate(0))
+        res = trainer.evaluate(0)
+        print(res)
+        return res
 
 
 if __name__ == "__main__":

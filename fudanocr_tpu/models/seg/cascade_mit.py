@@ -34,8 +34,12 @@ Dtype = Any
 
 def _flash_ok(q_shape, lk: int) -> bool:
     """Dispatch gate for the Pallas attention in EfficientAttention: big
-    enough to pay off, aligned to the kernel's block/lane constraints."""
+    enough to pay off, aligned to the kernel's block/lane constraints.
+    CPU (interpret-mode) runs are size-bounded like region_flash_supported
+    — the python-level grid loop is for correctness tests, not volume."""
     _, _, lq, hd = q_shape
+    if jax.default_backend() == "cpu" and lq * lk > 2 ** 24:
+        return False
     return (lq >= 512 and lq % 256 == 0 and (lq <= 1024 or lq % 1024 == 0)
             and lk >= 128 and lk % 128 == 0 and hd % 8 == 0 and hd <= 128)
 

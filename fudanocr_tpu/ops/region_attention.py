@@ -43,7 +43,12 @@ _NEG = -1e10  # the reference's suppression constant (cascade_mit.py:4973)
 
 def region_flash_supported(lq: int, lkv: int, d: int, heads: int) -> bool:
     """Shape gate: Lq chunkable, whole K/V row VMEM-resident, MXU-aligned
-    head dim."""
+    head dim. On the CPU backend (tests) the kernels run in Pallas
+    INTERPRET mode — a python-level grid loop — so large problems are
+    additionally bounded there: correctness coverage needs small shapes,
+    and XLA's native einsum path is orders of magnitude faster on CPU."""
+    if jax.default_backend() == "cpu" and lq * lkv > 2 ** 24:
+        return False
     return (lq >= 1024 and lq % 256 == 0
             and 128 <= lkv <= 2048 and lkv % 128 == 0
             and d % heads == 0 and (d // heads) % 8 == 0 and d <= 512)

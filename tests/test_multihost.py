@@ -45,9 +45,11 @@ print(f"WORKER_OK {pid} {got} {sorted(mine)}", flush=True)
 """
 
 
-@pytest.mark.skipif(os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"),
-                    reason="needs CPU backend")
 def test_two_process_distributed_psum(tmp_path):
+    # no backend skip: the WORKERS pin JAX_PLATFORMS=cpu in their own env,
+    # so the parent's backend (e.g. the axon TPU tunnel) is irrelevant —
+    # an earlier skipif on the parent's JAX_PLATFORMS made the full suite
+    # show one unexplained skip on TPU-attached hosts
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
