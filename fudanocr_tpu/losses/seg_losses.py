@@ -107,22 +107,28 @@ def lovasz_softmax_loss(logits: jax.Array, labels: jax.Array,
         fg1 = ((safe == 1) & valid).astype(jnp.float32)
         errors = jnp.where(valid, jnp.abs(fg0 - probs[:, 0]), 0.0)
         e_sg = jax.lax.stop_gradient(errors)
+        # a TPU bitonic sort moves EVERY operand through all log^2(P)
+        # compare-swap passes, so payload bytes are what the sort costs:
+        # pack (iota, fg0, valid) into ONE int32 (2 low bits are flags)
+        # instead of sorting three separate payload vectors
         iota = jnp.arange(e_sg.shape[0], dtype=jnp.int32)
-        _, fg0_s, v_s, idx_s = jax.lax.sort(
-            (-e_sg, fg0, valid.astype(jnp.float32), iota), num_keys=1,
-            is_stable=False)
-        w0 = _lovasz_grad(fg0_s)
-        w1 = _lovasz_grad(v_s - fg0_s)
-        _, w0_o, w1_o = jax.lax.sort((idx_s, w0, w1), num_keys=1,
-                                     is_stable=False)
-        w0_o = jax.lax.stop_gradient(w0_o)
-        w1_o = jax.lax.stop_gradient(w1_o)
+        packed = (iota << 2) | (fg0.astype(jnp.int32) << 1) \
+            | valid.astype(jnp.int32)
+        _, packed_s = jax.lax.sort((-e_sg, packed), num_keys=1,
+                                   is_stable=False)
+        fg0_s = ((packed_s >> 1) & 1).astype(jnp.float32)
+        v_s = (packed_s & 1).astype(jnp.float32)
+        idx_s = packed_s >> 2
         p0, p1 = jnp.sum(fg0) > 0, jnp.sum(fg1) > 0
-        losses = jnp.stack([
-            jnp.where(p0, jnp.sum(errors * w0_o), 0.0),
-            jnp.where(p1, jnp.sum(errors * w1_o), 0.0)])
-        present = jnp.stack([p0, p1]).astype(jnp.float32)
-        return jnp.sum(losses) / jnp.maximum(jnp.sum(present), 1.0)
+        # the two per-class losses are sums over the SAME error vector, so
+        # the present-gated weights can be merged before the un-permuting
+        # sort — one f32 payload instead of two
+        w = jnp.where(p0, _lovasz_grad(fg0_s), 0.0) \
+            + jnp.where(p1, _lovasz_grad(v_s - fg0_s), 0.0)
+        _, w_o = jax.lax.sort((idx_s, w), num_keys=1, is_stable=False)
+        loss = jnp.sum(errors * jax.lax.stop_gradient(w_o))
+        present = p0.astype(jnp.float32) + p1.astype(jnp.float32)
+        return loss / jnp.maximum(present, 1.0)
 
     def per_class(ci):
         fg = ((safe == ci) & valid).astype(jnp.float32)

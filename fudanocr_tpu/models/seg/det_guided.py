@@ -63,9 +63,16 @@ def _instance_labels_host(binary: np.ndarray) -> np.ndarray:
 def instance_labels_device(text_map: jax.Array,
                            iters: Optional[int] = None) -> jax.Array:
     """Pure-XLA connected-component labeling: per-pixel label = min linear
-    index of its 4-connected component, via iterated neighborhood-min
-    propagation (converges in <= component diameter steps; `iters`
-    defaults to H+W which covers non-serpentine text blobs).
+    index of its 4-connected component.
+
+    Shiloach–Vishkin-style rounds: (1) every pixel takes the 4-neighbour
+    label min, (2) that candidate is also scatter-min'ed onto the pixel's
+    current ROOT (`lab.at[lab].min(cand)` — trees hook onto adjacent
+    trees, Borůvka-style the number of unmerged trees at least halves per
+    round), (3) two pointer jumps (`lab <- lab[lab]`) compress paths.
+    ~log2(H*W)+margin rounds converge for ANY component shape — vs the
+    O(diameter) rounds (H+W = 512 sequential kernels at 1/4-scale 1024²)
+    of the plain neighbour-min propagation this replaced.
 
     Used where host callbacks are unavailable (the axon TPU tunnel
     rejects pure_callback). Differs from the cv2 contour fill only on
@@ -74,27 +81,52 @@ def instance_labels_device(text_map: jax.Array,
     masks depend only on label EQUALITY, so the partition — not the id
     values — is what matters."""
     b, h, w = text_map.shape
+    hw = h * w
     if iters is None:
-        iters = h + w
+        # tree count at least halves per round; margin for hook/jump
+        # interleaving (test_det_guided exercises serpentine + spiral)
+        iters = int(np.ceil(np.log2(max(hw, 2)))) + 4
     fg = text_map > 0
-    big = jnp.float32(h * w + 2)
-    idx = (jnp.arange(h * w, dtype=jnp.float32).reshape(1, h, w) + 1.0)
-    lab = jnp.where(fg, idx, big)
+    fg_flat = fg.reshape(b, hw)
+    bg = jnp.int32(hw)  # sentinel label for background (> any pixel index)
+    idx = jnp.arange(hw, dtype=jnp.int32).reshape(1, h, w)
+    lab = jnp.where(fg, idx, bg)
+    b_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    def neighbour_min(lab):
+        return jnp.minimum(
+            jnp.minimum(jnp.pad(lab, ((0, 0), (1, 0), (0, 0)),
+                                constant_values=bg)[:, :-1],
+                        jnp.pad(lab, ((0, 0), (0, 1), (0, 0)),
+                                constant_values=bg)[:, 1:]),
+            jnp.minimum(jnp.pad(lab, ((0, 0), (0, 0), (1, 0)),
+                                constant_values=bg)[:, :, :-1],
+                        jnp.pad(lab, ((0, 0), (0, 0), (0, 1)),
+                                constant_values=bg)[:, :, 1:]))
+
+    def jump(flat):
+        # lab[lab]: every label is the linear index of a same-component
+        # pixel, so chasing it (and taking the min) preserves the
+        # invariant while doubling the hop length
+        parent = jnp.take_along_axis(flat, jnp.minimum(flat, hw - 1),
+                                     axis=1)
+        return jnp.where(fg_flat, jnp.minimum(flat, parent), bg)
 
     def body(_, lab):
-        n = jnp.minimum(
-            jnp.minimum(jnp.pad(lab, ((0, 0), (1, 0), (0, 0)),
-                                constant_values=big)[:, :-1],
-                        jnp.pad(lab, ((0, 0), (0, 1), (0, 0)),
-                                constant_values=big)[:, 1:]),
-            jnp.minimum(jnp.pad(lab, ((0, 0), (0, 0), (1, 0)),
-                                constant_values=big)[:, :, :-1],
-                        jnp.pad(lab, ((0, 0), (0, 0), (0, 1)),
-                                constant_values=big)[:, :, 1:]))
-        return jnp.where(fg, jnp.minimum(lab, n), big)
+        cand = neighbour_min(lab).reshape(b, hw)
+        cand = jnp.where(fg_flat, cand, bg)  # bg scatters the identity
+        flat = lab.reshape(b, hw)
+        # hook: the ROOT this pixel points to learns the best adjacent
+        # label (bg rows clamp to index hw-1 but carry value bg = no-op)
+        flat = flat.at[b_idx, jnp.minimum(flat, hw - 1)].min(
+            cand, mode="drop")
+        flat = jnp.where(fg_flat, jnp.minimum(flat, cand), bg)
+        flat = jump(jump(flat))
+        return flat.reshape(b, h, w)
 
     lab = jax.lax.fori_loop(0, iters, body, lab)
-    return jnp.where(fg, lab, 0.0)
+    # same output convention as before: 1-based float ids, background 0
+    return jnp.where(fg, (lab + 1).astype(jnp.float32), 0.0)
 
 
 def _host_callbacks_supported() -> bool:

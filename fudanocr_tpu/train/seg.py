@@ -10,6 +10,7 @@ per-shard histograms with one psum instead of collect_results_cpu.
 
 from __future__ import annotations
 
+import functools as _functools
 import logging
 from typing import Callable, Dict, Optional, Tuple
 
@@ -213,6 +214,33 @@ def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
                    donate_argnums=(0,))
 
 
+@_functools.lru_cache(maxsize=32)
+def _shared_seg_step(model, mesh, lw_items, det_loss_ratio, gt_guided_masks):
+    return make_seg_train_step(model, mesh, dict(lw_items),
+                               det_loss_ratio=det_loss_ratio,
+                               gt_guided_masks=gt_guided_masks)
+
+
+def shared_seg_train_step(model, mesh, loss_weights=None,
+                          det_loss_ratio: float = 0.1,
+                          gt_guided_masks: bool = False):
+    """make_seg_train_step, memoized on the (hashable) recipe.
+
+    Every `jax.jit` wraps a fresh closure, so two SegTrainers with the
+    *same* model config otherwise each pay a full XLA compile — flax
+    modules are frozen dataclasses (hash = config), so identical recipes
+    can share one jitted step (and its compile cache). Falls back to an
+    unshared step if anything in the recipe is unhashable."""
+    lw_items = tuple(sorted((loss_weights or {"ce": 1.0}).items()))
+    try:
+        return _shared_seg_step(model, mesh, lw_items, det_loss_ratio,
+                                gt_guided_masks)
+    except TypeError:  # unhashable model/mesh — build a private step
+        return make_seg_train_step(model, mesh, dict(lw_items),
+                                   det_loss_ratio=det_loss_ratio,
+                                   gt_guided_masks=gt_guided_masks)
+
+
 class SegTrainer:
     def __init__(self, model, train_data, eval_data, num_classes: int = 2,
                  batch_size: int = 4, lr: float = 6e-5,
@@ -245,13 +273,16 @@ class SegTrainer:
         self.start_iter = 0
 
         first = next(iter(train_data.batches(batch_size)))
-        variables = model.init(jax.random.PRNGKey(seed),
-                               jnp.asarray(first["img"]), train=True)
+        # jit the init: eager flax init dispatches hundreds of per-op
+        # compiles, which over the axon tunnel (~1.4 s/dispatch) takes
+        # hours instead of seconds
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(seed), jnp.asarray(first["img"]), train=True)
         tx = make_seg_optimizer(variables["params"], lr,
                                 total_iters=total_iters)
         self.state = TrainState.create(variables["params"],
                                        variables.get("batch_stats", {}), tx)
-        self.train_step = make_seg_train_step(
+        self.train_step = shared_seg_train_step(
             model, self.mesh, loss_weights, det_loss_ratio=det_loss_ratio,
             gt_guided_masks=gt_guided_masks)
         self.best = -1.0

@@ -1,0 +1,88 @@
+"""Profile the det-guided 1024^2 train step on the chip and print the
+per-op time breakdown (top kernels by total device time).
+
+Usage: python scripts/profile_det.py [outdir]
+Parses the perfetto trace (vm.trace.json.gz) jax.profiler writes — the
+axon tunnel supports start/stop_trace but not pure_callback.
+"""
+
+import glob
+import gzip
+import json
+import sys
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/det_trace"
+
+    from fudanocr_tpu.models.seg import (CascadeMiTDetGuided,
+                                         DetGuidedEncoderDecoder,
+                                         SegformerHead)
+    from fudanocr_tpu.train.seg import make_seg_optimizer, make_seg_train_step
+    from fudanocr_tpu.train.state import TrainState
+    from fudanocr_tpu.core.mesh import make_mesh_for_batch
+
+    det_model = DetGuidedEncoderDecoder(
+        backbone=CascadeMiTDetGuided(embed_dims=32, num_layers=(2, 2, 2, 2),
+                                     dtype=jnp.bfloat16),
+        decode_head=SegformerHead(num_classes=2, channels=256,
+                                  dtype=jnp.bfloat16))
+    B = 1
+    img = jax.random.uniform(jax.random.PRNGKey(4), (B, 1024, 1024, 3))
+    gt = jnp.zeros((B, 1024, 1024), jnp.int32)
+    det = jnp.zeros((B, 1024, 1024), jnp.int32)
+    variables = jax.jit(det_model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(5), img, train=True)
+    mesh = make_mesh_for_batch(B)
+    tx = make_seg_optimizer(variables["params"])
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    raw = make_seg_train_step(det_model, mesh, {"ce": 1.0, "lovasz": 1.0},
+                              det_loss_ratio=0.1, wrap_jit=False)
+    batch = {"img": img, "gt_seg": gt, "gt_det": det}
+
+    def chain(state, batch, rng):
+        def body(carry, _):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, m = raw(st, batch, sub)
+            return (st, r), m["loss"]
+        (st, _), losses = jax.lax.scan(body, (state, rng), None, length=2)
+        return st, losses
+
+    compiled = jax.jit(chain).lower(state, batch,
+                                    jax.random.PRNGKey(6)).compile()
+    st, losses = compiled(state, batch, jax.random.PRNGKey(6))
+    print("warm loss", float(losses[-1]), flush=True)
+
+    jax.profiler.start_trace(outdir)
+    st2, losses = compiled(state, batch, jax.random.PRNGKey(6))
+    print("profiled loss", float(losses[-1]), flush=True)
+    jax.profiler.stop_trace()
+
+    paths = glob.glob(outdir + "/**/*.trace.json.gz", recursive=True)
+    assert paths, f"no trace under {outdir}"
+    path = max(paths, key=lambda p: len(p))
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    per_op = defaultdict(float)
+    total = 0.0
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "X" and "dur" in ev:
+            name = ev.get("name", "?")
+            # keep device-side events only; host rows have pid names but
+            # simplest robust filter: skip obvious host/python events
+            per_op[name] += ev["dur"]
+    ranked = sorted(per_op.items(), key=lambda kv: -kv[1])
+    print(f"\ntrace: {path}")
+    print(f"{'us_total':>12}  op")
+    for name, us in ranked[:45]:
+        print(f"{us:12.0f}  {name[:120]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -115,3 +115,46 @@ def test_device_instance_labels_match_cv2_partition():
         np.testing.assert_array_equal(
             (w[:, None] == w[None, :]), (g[:, None] == g[None, :]))
     assert (got[binary == 0] == 0).all()
+
+
+def test_device_instance_labels_adversarial_shapes():
+    """The hook+pointer-jump CCL must fully converge in its default
+    ~log2(H*W) rounds on shapes where plain neighbour-min propagation
+    needs O(path length) rounds: serpentines and spirals. Oracle is
+    scipy's 4-connected labeling (cv2's contour FILL paints over spiral
+    gaps, so it is not a valid oracle here — masks use 4-connectivity)."""
+    from scipy import ndimage
+
+    from fudanocr_tpu.models.seg.det_guided import instance_labels_device
+
+    rng = np.random.default_rng(0)
+    cases = []
+    cases.append((rng.random((2, 48, 48)) > 0.4).astype(np.int32))
+    serp = np.zeros((1, 64, 64), np.int32)
+    for r in range(0, 64, 4):
+        serp[0, r, :] = 1
+        if (r // 4) % 2 == 0 and r + 4 < 64:
+            serp[0, r:r + 4, 63] = 1
+        elif r + 4 < 64:
+            serp[0, r:r + 4, 0] = 1
+    cases.append(serp)
+    spiral = np.zeros((1, 65, 65), np.int32)
+    x0, x1, y0, y1 = 0, 64, 0, 64
+    while x0 < x1:
+        spiral[0, y0, x0:x1 + 1] = 1
+        spiral[0, y0:y1 + 1, x1] = 1
+        spiral[0, y1, x0:x1 + 1] = 1
+        spiral[0, y0 + 2:y1 + 1, x0] = 1
+        x0 += 2; y0 += 2; x1 -= 2; y1 -= 2
+    cases.append(spiral)
+
+    for binary in cases:
+        got = np.asarray(
+            instance_labels_device(jnp.asarray(binary, jnp.float32)))
+        for b in range(binary.shape[0]):
+            want, _ = ndimage.label(binary[b])  # 4-connectivity default
+            w = want.reshape(-1)
+            g = got[b].reshape(-1)
+            np.testing.assert_array_equal(
+                (w[:, None] == w[None, :]), (g[:, None] == g[None, :]))
+        assert (got[binary == 0] == 0).all()
