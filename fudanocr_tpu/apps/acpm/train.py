@@ -38,6 +38,8 @@ DEFAULT_CONFIG = Config({
     "encoder": "resnet", "rn_loss": "L1", "stn": False, "pretrain": False,
     "candidate_search_range": 0,
     "ckpt_dir": "./ckpt/acpm", "synthetic_samples": 64, "test_only": False,
+    # "" = reference depth [3,4,6,3]; smokes pass e.g. "1,1,1,1"
+    "encoder_layers": "",
 })
 
 
@@ -113,9 +115,12 @@ class ACPMTrainer:
             self.test_data = SyntheticCharDataset(
                 cs, max(cfg.synthetic_samples // 4, 8), size, seed=1)
 
+        enc_layers = (tuple(int(x) for x in str(cfg.encoder_layers).split(","))
+                      if cfg.encoder_layers else None)
         self.model = ACPM(vocab=self.codec.num_classes, encoder=cfg.encoder,
-                          rn_loss=cfg.rn_loss, stn=cfg.stn)
-        variables = self.model.init(
+                          rn_loss=cfg.rn_loss, stn=cfg.stn,
+                          encoder_layers=enc_layers)
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
             jax.random.PRNGKey(0), jnp.zeros((2, *size, 3)),
             jnp.zeros((2, cfg.max_len), jnp.int32), train=True)
         tx = optax.adadelta(cfg.lr, rho=0.9, eps=1e-6)

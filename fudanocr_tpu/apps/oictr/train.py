@@ -39,6 +39,8 @@ DEFAULT_CONFIG = Config({
     "train_dataset": "", "test_dataset": "", "alphabet_path": "",
     "ckpt_dir": "./ckpt/oictr", "synthetic_samples": 64,
     "test_only": False,
+    # "" = reference depth [3,4,6]; smokes pass e.g. "1,1,1"
+    "encoder_layers": "",
 })
 
 
@@ -101,9 +103,12 @@ class OICTRTrainer:
             self.test_data = SyntheticCharDataset(
                 cs, max(cfg.synthetic_samples // 4, 8), size, seed=1)
 
-        self.model = OICTR(vocab=self.codec.num_classes)
+        enc_layers = (tuple(int(x) for x in str(cfg.encoder_layers).split(","))
+                      if cfg.encoder_layers else None)
+        self.model = OICTR(vocab=self.codec.num_classes,
+                           encoder_layers=enc_layers)
         self.mesh = make_mesh()
-        variables = self.model.init(
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
             jax.random.PRNGKey(0), jnp.zeros((2, *size, 3)),
             jnp.zeros((2, cfg.max_len), jnp.int32), train=True)
         # Adadelta + CosineAnnealingWarmRestarts(T_0=10 epochs)

@@ -29,6 +29,10 @@ class MetricsLogger:
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self._tb = None
+        # the tensorboard import drags in the TF proto stack (~20 s cold on
+        # this 1-core host) — suites set FUDANOCR_TENSORBOARD=0 to skip it
+        if os.environ.get("FUDANOCR_TENSORBOARD", "1") == "0":
+            tensorboard = False
         if tensorboard:
             try:
                 from tensorboard.summary.writer.event_file_writer import (

@@ -19,7 +19,7 @@ similarity) is host-side (eval/profile_matching.py).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -122,12 +122,15 @@ class ACPM(nn.Module):
     rn_loss: str = "L1"
     stn: bool = False
     num_heads: int = 4
+    # override the resnet block counts (default = reference [3,4,6,3]);
+    # smoke tests shrink the compile graph on the 1-core CI host
+    encoder_layers: Optional[Tuple[int, ...]] = None
     dtype: Optional[Dtype] = None
 
     def setup(self):
         if self.encoder == "resnet":
             self._encoder = OCRResNet(
-                3, (3, 4, 6, 3),
+                3, tuple(self.encoder_layers or (3, 4, 6, 3)),
                 stage_pools=(False, False, False, False),  # stem pool only
                 dtype=self.dtype, name="encoder")
         elif self.encoder == "densenet":

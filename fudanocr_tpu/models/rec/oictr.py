@@ -56,6 +56,10 @@ class OICTR(nn.Module):
     d_embed: int = 256
     d_model: int = 512
     num_heads: int = 4
+    # override the per-stage block counts (default = reference [3,4,6]);
+    # smoke tests pass (1,1,1) to compile a structurally identical but
+    # ~5x smaller graph on the 1-core CI host
+    encoder_layers: Optional[Tuple[int, ...]] = None
     dtype: Optional[Dtype] = None
 
     def setup(self):
@@ -63,8 +67,11 @@ class OICTR(nn.Module):
         # (256, 512, 1024), pools before stages 0/1, no head conv
         # (orientation-independent-CTR/model/transformer.py:125-199)
         from fudanocr_tpu.models.rec.ocr_transformer import OCR_RESNET_PRESETS
+        kw = dict(OCR_RESNET_PRESETS["oictr"])
+        if self.encoder_layers is not None:
+            kw["layers"] = tuple(self.encoder_layers)
         self._encoder = OCRResNet(3, dtype=self.dtype, name="encoder",
-                                  **OCR_RESNET_PRESETS["oictr"])
+                                  **kw)
         self._content = nn.Conv(512, (1, 1), dtype=self.dtype,
                                 name="content_extractor")
         self._dir_conv = nn.Conv(512, (1, 1), dtype=self.dtype,

@@ -9,6 +9,8 @@ time before the backend is first initialized.
 
 import os
 
+os.environ.setdefault("FUDANOCR_TENSORBOARD", "0")  # skip ~20 s TF import
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

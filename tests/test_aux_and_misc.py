@@ -78,9 +78,12 @@ def test_strq2b_and_random_sequential():
         assert run == list(range(run[0], run[0] + 8))
 
 
-def test_metrics_logger_and_saver():
+def test_metrics_logger_and_saver(monkeypatch):
     from fudanocr_tpu.core.logging import MetricsLogger, Saver
 
+    # conftest disables tensorboard suite-wide (20 s TF import); this is
+    # the ONE test that pays it to keep the TB event path covered
+    monkeypatch.setenv("FUDANOCR_TENSORBOARD", "1")
     with tempfile.TemporaryDirectory() as tmp:
         ml = MetricsLogger(tmp, tensorboard=True)
         ml.scalar("loss", 1.5, 1)
