@@ -44,23 +44,22 @@ def poly_schedule(base_lr: float, total_iters: int, power: float = 1.0,
     return schedule
 
 
-def make_seg_optimizer(params, base_lr: float = 6e-5,
-                       weight_decay: float = 0.01, total_iters: int = 160_000,
-                       head_lr_mult: float = 10.0):
-    """AdamW with head lr x10 and no decay on 1-D (norm/bias) params."""
+@_functools.lru_cache(maxsize=32)
+def _cached_seg_optimizer(base_lr: float, weight_decay: float,
+                          total_iters: int, head_lr_mult: float,
+                          top_keys: tuple):
     sched = poly_schedule(base_lr, total_iters)
 
     def decay_mask(tree):
         return jax.tree_util.tree_map(lambda p: p.ndim > 1, tree)
 
-    def head_labels(tree):
-        # the lr x10 rule applies to the DECODE HEAD subtree specifically
-        # (textformer configs paramwise_cfg head_lr_mult); an earlier
-        # substring match on "head" would silently misroute any future
-        # nesting that happened to contain the word
-        return {k: ("head" if k in ("decode_head", "auxiliary_head")
-                    else "backbone")
-                for k in tree.keys()}
+    # the lr x10 rule applies to the DECODE HEAD subtree specifically
+    # (textformer configs paramwise_cfg head_lr_mult); an earlier
+    # substring match on "head" would silently misroute any future
+    # nesting that happened to contain the word. The label dict over the
+    # top-level keys is a valid optax prefix tree.
+    labels = {k: ("head" if k in ("decode_head", "auxiliary_head")
+                  else "backbone") for k in top_keys}
 
     def adamw(mult):
         return optax.chain(
@@ -70,8 +69,21 @@ def make_seg_optimizer(params, base_lr: float = 6e-5,
         )
 
     return optax.multi_transform(
-        {"backbone": adamw(1.0), "head": adamw(head_lr_mult)},
-        head_labels(params))
+        {"backbone": adamw(1.0), "head": adamw(head_lr_mult)}, labels)
+
+
+def make_seg_optimizer(params, base_lr: float = 6e-5,
+                       weight_decay: float = 0.01, total_iters: int = 160_000,
+                       head_lr_mult: float = 10.0):
+    """AdamW with head lr x10 and no decay on 1-D (norm/bias) params.
+
+    Memoized on the recipe: TrainState stores tx as STATIC jit metadata
+    compared by identity (closures), so two trainers with the same recipe
+    must receive the *same* GradientTransformation object or every jitted
+    step/eval retraces and recompiles from scratch — on the 1-core CPU
+    test host that was ~90 s per extra trainer."""
+    return _cached_seg_optimizer(base_lr, weight_decay, int(total_iters),
+                                 head_lr_mult, tuple(sorted(params.keys())))
 
 
 def layer_id_for_param(path: str, num_layers) -> int:
@@ -221,6 +233,30 @@ def _shared_seg_step(model, mesh, lw_items, det_loss_ratio, gt_guided_masks):
                                gt_guided_masks=gt_guided_masks)
 
 
+@_functools.lru_cache(maxsize=64)
+def shared_jitted_init(model):
+    """One jitted `model.init` per model config (flax modules hash by
+    config): a fresh `jax.jit(model.init)` per trainer means a fresh
+    compile cache, so the N-th trainer of the same tiny test model pays
+    the full ~50 s init compile again on the 1-core CPU host."""
+    return jax.jit(model.init, static_argnames=("train",))
+
+
+@_functools.lru_cache(maxsize=64)
+def _shared_eval_fn(model, crop, stride):
+    def fwd(variables, img):
+        out = model.apply(variables, img)
+        return out[0] if isinstance(out, tuple) else out
+
+    def infer(variables, img):
+        if crop is not None:
+            return slide_inference(lambda p: fwd(variables, p), img, crop,
+                                   stride or crop)
+        return fwd(variables, img)
+
+    return jax.jit(infer)
+
+
 def shared_seg_train_step(model, mesh, loss_weights=None,
                           det_loss_ratio: float = 0.1,
                           gt_guided_masks: bool = False):
@@ -276,7 +312,11 @@ class SegTrainer:
         # jit the init: eager flax init dispatches hundreds of per-op
         # compiles, which over the axon tunnel (~1.4 s/dispatch) takes
         # hours instead of seconds
-        variables = jax.jit(model.init, static_argnames=("train",))(
+        try:
+            init = shared_jitted_init(model)
+        except TypeError:       # unhashable model — private jit
+            init = jax.jit(model.init, static_argnames=("train",))
+        variables = init(
             jax.random.PRNGKey(seed), jnp.asarray(first["img"]), train=True)
         tx = make_seg_optimizer(variables["params"], lr,
                                 total_iters=total_iters)
@@ -329,12 +369,17 @@ class SegTrainer:
             shutil.rmtree(os.path.join(self.ckpt_dir, d),
                           ignore_errors=True)
 
-    def train(self):
+    def train(self, stop_after: Optional[int] = None):
+        """Run to total_iters; `stop_after` aborts early after that many
+        iters (simulates a killed run for resume tests — the schedule and
+        jitted step stay those of the FULL recipe, exactly like a real
+        mid-run death)."""
         it = self.start_iter
-        while it < self.total_iters:
+        stop = self.total_iters if stop_after is None else stop_after
+        while it < min(self.total_iters, stop):
             for batch in self.train_data.batches(self.batch_size,
                                                  shuffle=True, seed=it):
-                if it >= self.total_iters:
+                if it >= min(self.total_iters, stop):
                     break
                 rng = jax.random.fold_in(self.base_rng, it)
                 self.state, metrics = self.train_step(
@@ -357,22 +402,28 @@ class SegTrainer:
                      "batch_stats": self.state.batch_stats}
 
         if getattr(self, "_eval_fn", None) is None:
-            # jit ONCE per trainer (variables as an argument, both so the
-            # 160 eval points of a 160k run don't each pay a retrace and
-            # so the weights aren't baked into the serialized module —
-            # the axon remote-compile rejects constant-heavy payloads)
-            def fwd(variables, img):
-                out = self.model.apply(variables, img)
-                return out[0] if isinstance(out, tuple) else out
+            # jit ONCE per (model, crop, stride) — shared across trainers
+            # and eval cycles (variables as an argument, both so the 160
+            # eval points of a 160k run don't each pay a retrace and so
+            # the weights aren't baked into the serialized module — the
+            # axon remote-compile rejects constant-heavy payloads)
+            try:
+                self._eval_fn = _shared_eval_fn(self.model, self.crop,
+                                                self.stride)
+            except TypeError:   # unhashable model/crop — private jit
+                model, crop, stride = self.model, self.crop, self.stride
 
-            def infer(variables, img):
-                if self.crop is not None:
-                    return slide_inference(
-                        lambda p: fwd(variables, p), img, self.crop,
-                        self.stride or self.crop)
-                return fwd(variables, img)
+                def fwd(variables, img):
+                    out = model.apply(variables, img)
+                    return out[0] if isinstance(out, tuple) else out
 
-            self._eval_fn = jax.jit(infer)
+                def infer(variables, img):
+                    if crop is not None:
+                        return slide_inference(lambda p: fwd(variables, p),
+                                               img, crop, stride or crop)
+                    return fwd(variables, img)
+
+                self._eval_fn = jax.jit(infer)
         infer = lambda img: self._eval_fn(variables, img)
         hist = np.zeros((4, self.num_classes), np.float64)
         for bi, batch in enumerate(self.eval_data.batches(self.batch_size)):

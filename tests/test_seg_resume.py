@@ -38,9 +38,12 @@ def test_seg_periodic_checkpoint_and_auto_resume(tmp_path):
     t_full.train()
     full_params = jax.device_get(t_full.state.params)
 
-    # interrupted run: same config, dies after 4 iters
-    t_int = _make_trainer(tmp_path / "int", 4)
-    t_int.train()
+    # interrupted run: same 6-iter recipe, dies after 4 iters (stop_after
+    # keeps the lr schedule and the shared jitted step identical to the
+    # full run's — like a real mid-run kill, and one compile serves all
+    # trainers in this module)
+    t_int = _make_trainer(tmp_path / "int", 6)
+    t_int.train(stop_after=4)
     ckpts = sorted((tmp_path / "int" / "ckpt").iterdir())
     assert any(p.name.startswith("iter_") for p in ckpts)
 
@@ -59,9 +62,9 @@ def test_seg_periodic_checkpoint_and_auto_resume(tmp_path):
 
 
 def test_seg_periodic_checkpoint_pruning(tmp_path):
-    t = _make_trainer(tmp_path, 10)   # ckpt_every=2 -> 5 periodic saves
-    t.max_keep = 2
-    t.train()
+    t = _make_trainer(tmp_path, 6)    # ckpt_every=2 -> 3 periodic saves
+    t.max_keep = 2                    # (same recipe as the resume test —
+    t.train()                         # reuses its init/step compiles)
     kept = sorted(d.name for d in (tmp_path / "ckpt").iterdir()
                   if d.name.startswith("iter_"))
-    assert kept == ["iter_10", "iter_8"]
+    assert kept == ["iter_4", "iter_6"]
