@@ -54,6 +54,61 @@ def drop_path(x: jax.Array, rate: float, deterministic: bool,
     return jnp.where(mask, x / keep, 0.0)
 
 
+class StemConv4x(nn.Module):
+    """7x7 stride-4 stem conv computed via space-to-depth.
+
+    A direct 7x7/4 conv on a 3-channel image is MXU-hostile (3 input
+    channels occupy 3 of 128 lanes; profiled 1.4 ms forward + 2.1 ms
+    weight-grad of the 70 ms det-guided 1024² train step). Rearranging
+    the input into 4x4 blocks (B, H/4, W/4, 48) turns it into an exactly
+    equivalent 2x2 conv over 48 channels: with u-3 = 4s+a (s in {-1,0},
+    a in 0..3), pad the kernel to 8x8 (one leading zero row/col) and
+    regroup — same sums, same receptive field (4p-3..4p+3), zero high-
+    side padding needed.
+
+    Parameter shape stays the reference (7,7,C,F) `kernel`/`bias` under
+    the same module name, so torch-checkpoint porting and the port-parity
+    tests are unchanged; the rearrangement is trace-time weight shuffling.
+
+    Gated on `s2d` (callers pass `train`): the rewrite is a big win only
+    when the WEIGHT GRADIENT is needed — dK of the 7x7/4 C=3 conv is
+    MXU-hostile (microbenched fwd+wgrad 10.7 -> 1.9 ms at 1024^2 b1
+    bf16, scripts/bench_stem.py) — while for pure inference the extra
+    input transpose makes it a net loss at the slide batch (fwd 1.5 ->
+    3.7 ms at 1024^2 b3). Falls back to the plain conv when H or W is
+    not a multiple of 4.
+    """
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, s2d: bool = True) -> jax.Array:
+        c = x.shape[-1]
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        from flax.linen.dtypes import promote_dtype
+        x, k, bias = promote_dtype(x, k, bias, dtype=self.dtype)
+        b, h, w, _ = x.shape
+        if s2d and h % 4 == 0 and w % 4 == 0:
+            xp = x.reshape(b, h // 4, 4, w // 4, 4, c)
+            xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 4, w // 4,
+                                                        16 * c)
+            kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            k2 = kp.reshape(2, 4, 2, 4, c, self.features)
+            k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 16 * c,
+                                                        self.features)
+            y = jax.lax.conv_general_dilated(
+                xp, k2, (1, 1), ((1, 0), (1, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, k, (4, 4), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias
+
+
 class ResNetBlock(nn.Module):
     """Basic block with biased convs (cascade_mit.py:45-67)."""
 
@@ -275,8 +330,7 @@ class CascadeMiT(nn.Module):
         deterministic = not train
 
         # conv stem + ResNet pyramid (cascade_mit.py:455-474,497-501)
-        x1 = nn.Conv(d, (7, 7), (4, 4), padding=((3, 3), (3, 3)),
-                     dtype=self.dtype, name="stem_conv")(x)
+        x1 = StemConv4x(d, dtype=self.dtype, name="stem_conv")(x, s2d=train)
         x1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, dtype=self.dtype,
                           name="stem_bn")(x1)
