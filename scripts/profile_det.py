@@ -6,14 +6,13 @@ Parses the perfetto trace (vm.trace.json.gz) jax.profiler writes — the
 axon tunnel supports start/stop_trace but not pure_callback.
 """
 
-import glob
-import gzip
-import json
 import sys
-from collections import defaultdict
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from trace_util import device_summary, load_trace  # noqa: E402
 
 
 def main():
@@ -64,24 +63,7 @@ def main():
     print("profiled loss", float(losses[-1]), flush=True)
     jax.profiler.stop_trace()
 
-    paths = glob.glob(outdir + "/**/*.trace.json.gz", recursive=True)
-    assert paths, f"no trace under {outdir}"
-    path = max(paths, key=lambda p: len(p))
-    with gzip.open(path, "rt") as f:
-        trace = json.load(f)
-    per_op = defaultdict(float)
-    total = 0.0
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "X" and "dur" in ev:
-            name = ev.get("name", "?")
-            # keep device-side events only; host rows have pid names but
-            # simplest robust filter: skip obvious host/python events
-            per_op[name] += ev["dur"]
-    ranked = sorted(per_op.items(), key=lambda kv: -kv[1])
-    print(f"\ntrace: {path}")
-    print(f"{'us_total':>12}  op")
-    for name, us in ranked[:45]:
-        print(f"{us:12.0f}  {name[:120]}")
+    device_summary(load_trace(outdir))
 
 
 if __name__ == "__main__":
