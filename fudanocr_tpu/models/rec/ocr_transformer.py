@@ -153,20 +153,20 @@ class OCRDecoderLayer(nn.Module):
                                    dtype=self.dtype, name="self_attn")(
             text, text, text, mask=self_mask, deterministic=deterministic,
             need_weights=False)
-        x = TorchLayerNorm(name="ln1")(text + sa)
+        x = TorchLayerNorm(name="ln1")(text, residual=sa)
 
         ca, attn_map = MultiHeadAttention(self.num_heads, self.d_model,
                                           dtype=self.dtype, name="cross_attn")(
             x, memory, memory, attention_map=attention_map,
             deterministic=deterministic)
-        x = TorchLayerNorm(name="ln2")(x + ca)
+        x = TorchLayerNorm(name="ln2")(x, residual=ca)
 
         y = nn.Dense(self.d_ff, dtype=self.dtype, name="pff_w1")(x)
         y = nn.relu(y)
         if not deterministic:
             y = nn.Dropout(0.1)(y, deterministic=deterministic)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="pff_w2")(y)
-        x = TorchLayerNorm(name="ln3")(x + y)
+        x = TorchLayerNorm(name="ln3")(x, residual=y)
         return x, attn_map
 
 

@@ -59,14 +59,14 @@ class FeatureEnhancer(nn.Module):
             num_heads=4, d_model=d_model, dtype=self.dtype, use_flash=True,
             name="mha")(
                 x, x, x, deterministic=deterministic, need_weights=False)
-        x = TorchLayerNorm(name="ln1")(x + attn_out)
+        x = TorchLayerNorm(name="ln1")(x, residual=attn_out)
 
         y = nn.Dense(d_model, dtype=self.dtype, name="pff_w1")(x)
         y = nn.relu(y)
         if not deterministic:
             y = nn.Dropout(0.1)(y, deterministic=deterministic)
         y = nn.Dense(d_model, dtype=self.dtype, name="pff_w2")(y)
-        x = TorchLayerNorm(name="ln2")(x + y)
+        x = TorchLayerNorm(name="ln2")(x, residual=y)
 
         return nn.Dense(c, dtype=self.dtype, name="proj")(x)
 

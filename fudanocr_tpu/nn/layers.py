@@ -41,22 +41,35 @@ def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
 
 
 class TorchLayerNorm(nn.Module):
-    """LayerNorm over the last axis using (std + eps) in the denominator."""
+    """LayerNorm over the last axis using (std + eps) in the denominator.
+
+    Pass the transformer-block skip connection as `residual` instead of
+    pre-adding it: `LN(x + residual)` then runs as ONE fused Pallas pass
+    (ops/fused_layernorm.py) — bf16 in/out, fp32 statistics in registers —
+    instead of materialising the sum and re-reading it fp32-promoted for
+    each reduction (profiled 22% of the TBSRN batch-512 forward)."""
 
     eps: float = 1e-6
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 residual: Optional[jax.Array] = None) -> jax.Array:
         feat = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (feat,))
         bias = self.param("bias", nn.initializers.zeros, (feat,))
+        out_dtype = x.dtype if self.dtype is None else self.dtype
+        if residual is not None:
+            from fudanocr_tpu.ops.fused_layernorm import \
+                fused_residual_layernorm
+            y = fused_residual_layernorm(x, residual, scale, bias, self.eps)
+            return y.astype(out_dtype)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(feat - 1, 1)
         y = (xf - mean) / (jnp.sqrt(var) + self.eps)
         y = scale * y + bias
-        return y.astype(x.dtype if self.dtype is None else self.dtype)
+        return y.astype(out_dtype)
 
 
 class PReLU(nn.Module):

@@ -14,6 +14,13 @@ os.environ.setdefault("FUDANOCR_TENSORBOARD", "0")  # skip ~20 s TF import
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# NOTE (suite-time experiments, round 3): lowering the XLA:CPU LLVM opt
+# level (--xla_backend_optimization_level=0 and/or
+# --xla_llvm_disable_expensive_passes=true) cuts compile-bound tests 30-50%
+# (det-guided gt smoke 207->108 s) but devectorizes the generated loops, so
+# runtime-bound smokes explode (oictr app smoke 150->595 s). Net suite time
+# is unchanged; XLA_FLAGS is process-global so it cannot be set per test.
+# Keep default codegen.
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
