@@ -40,6 +40,8 @@ DEFAULT_CONFIG = Config({
     "ckpt_dir": "./ckpt/acpm", "synthetic_samples": 64, "test_only": False,
     # "" = reference depth [3,4,6,3]; smokes pass e.g. "1,1,1,1"
     "encoder_layers": "",
+    # smoke-test shrink knobs (reference: d_model 1024, div 1)
+    "d_model": 1024, "encoder_width_div": 1,
 })
 
 
@@ -119,7 +121,8 @@ class ACPMTrainer:
                       if cfg.encoder_layers else None)
         self.model = ACPM(vocab=self.codec.num_classes, encoder=cfg.encoder,
                           rn_loss=cfg.rn_loss, stn=cfg.stn,
-                          encoder_layers=enc_layers)
+                          d_model=cfg.d_model, encoder_layers=enc_layers,
+                          encoder_width_div=cfg.encoder_width_div)
         variables = jax.jit(self.model.init, static_argnames=("train",))(
             jax.random.PRNGKey(0), jnp.zeros((2, *size, 3)),
             jnp.zeros((2, cfg.max_len), jnp.int32), train=True)

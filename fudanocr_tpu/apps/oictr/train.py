@@ -41,6 +41,8 @@ DEFAULT_CONFIG = Config({
     "test_only": False,
     # "" = reference depth [3,4,6]; smokes pass e.g. "1,1,1"
     "encoder_layers": "",
+    # smoke-test shrink knobs (reference: d_model 512, d_embed 256, div 1)
+    "d_model": 512, "d_embed": 256, "encoder_width_div": 1,
 })
 
 
@@ -106,7 +108,9 @@ class OICTRTrainer:
         enc_layers = (tuple(int(x) for x in str(cfg.encoder_layers).split(","))
                       if cfg.encoder_layers else None)
         self.model = OICTR(vocab=self.codec.num_classes,
-                           encoder_layers=enc_layers)
+                           d_model=cfg.d_model, d_embed=cfg.d_embed,
+                           encoder_layers=enc_layers,
+                           encoder_width_div=cfg.encoder_width_div)
         self.mesh = make_mesh()
         variables = jax.jit(self.model.init, static_argnames=("train",))(
             jax.random.PRNGKey(0), jnp.zeros((2, *size, 3)),
@@ -142,7 +146,7 @@ class OICTRTrainer:
                     dir_logp, batch["is_v"][:, None], axis=-1))
 
                 b, l = batch["text_gt"].shape
-                cm = out["char_maps"].reshape(b * l, 512, 4)
+                cm = out["char_maps"].reshape(b * l, model.d_model, 4)
                 df = jnp.repeat(out["direction_feat"], l, axis=0)
                 raw = out["raw_imgs"]
                 swapped_df = df[batch["swap_idx"]]

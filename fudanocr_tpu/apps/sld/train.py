@@ -41,6 +41,7 @@ DEFAULT_CONFIG = Config({
     "d_embed": 512,
     "d_model": 1024,
     "d_ff": 2048,
+    "encoder_width_div": 1,  # smoke-test channel shrink (see OCRResNet)
 })
 
 STROKE_ALPHABET = "<12345$"
@@ -161,7 +162,8 @@ def main(argv=None):
     model = OCRTransformer(vocab=codec.num_classes, num_in=3,
                            layers=tuple(cfg.encoder_layers), num_heads=4,
                            d_embed=cfg.d_embed, d_model=cfg.d_model,
-                           d_ff=cfg.d_ff, stage1_pool=False)
+                           d_ff=cfg.d_ff, stage1_pool=False,
+                           encoder_width_div=cfg.encoder_width_div)
 
     trainer = CTRTrainer(model, codec, train_data, test_data,
                          batch_size=cfg.batch, lr=cfg.lr,

@@ -87,11 +87,13 @@ class DenseNetEncoder(nn.Module):
 
 class RadicalCounter(nn.Module):
     rn_loss: str = "L1"  # 'L1' -> scalar, 'CE' -> 11-way softmax
+    width_div: int = 1   # smoke-test channel shrink (see OCRResNet)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         for i, f in enumerate((512, 256, 64)):
+            f = max(f // self.width_div, 4)
             x = ConvBNReLU(f, dtype=self.dtype, name=f"conv{i}")(x, train)
         x = jnp.mean(x, axis=(1, 2))
         if self.rn_loss == "L1":
@@ -101,16 +103,18 @@ class RadicalCounter(nn.Module):
 
 
 class StrokeCounter(nn.Module):
+    width_div: int = 1  # smoke-test channel shrink (see OCRResNet)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
+        w = lambda f: max(f // self.width_div, 4)
         for i, f in enumerate((512, 256, 128)):
-            x = ConvBNReLU(f, dtype=self.dtype, name=f"shared{i}")(x, train)
+            x = ConvBNReLU(w(f), dtype=self.dtype, name=f"shared{i}")(x, train)
         n = nn.Dense(4, dtype=self.dtype, name="count_n")(
             jnp.mean(x, axis=(1, 2)))
-        h = ConvBNReLU(64, dtype=self.dtype, name="l_conv0")(x, train)
-        h = ConvBNReLU(32, dtype=self.dtype, name="l_conv1")(h, train)
+        h = ConvBNReLU(w(64), dtype=self.dtype, name="l_conv0")(x, train)
+        h = ConvBNReLU(w(32), dtype=self.dtype, name="l_conv1")(h, train)
         l = nn.Dense(4, dtype=self.dtype, name="count_l")(
             jnp.mean(h, axis=(1, 2)))
         return n, l
@@ -122,9 +126,11 @@ class ACPM(nn.Module):
     rn_loss: str = "L1"
     stn: bool = False
     num_heads: int = 4
+    d_model: int = 1024  # decoder width (reference transformer.py:318)
     # override the resnet block counts (default = reference [3,4,6,3]);
     # smoke tests shrink the compile graph on the 1-core CI host
     encoder_layers: Optional[Tuple[int, ...]] = None
+    encoder_width_div: int = 1  # smoke-test channel shrink (see OCRResNet)
     dtype: Optional[Dtype] = None
 
     def setup(self):
@@ -132,6 +138,7 @@ class ACPM(nn.Module):
             self._encoder = OCRResNet(
                 3, tuple(self.encoder_layers or (3, 4, 6, 3)),
                 stage_pools=(False, False, False, False),  # stem pool only
+                width_div=self.encoder_width_div,
                 dtype=self.dtype, name="encoder")
         elif self.encoder == "densenet":
             self._encoder = DenseNetEncoder(dtype=self.dtype, name="encoder")
@@ -146,15 +153,18 @@ class ACPM(nn.Module):
                                               num_control_points=20,
                                               margins=(0.05, 0.05),
                                               name="tps")
-        self._embed = nn.Embed(self.vocab, 512, dtype=self.dtype,
-                               name="embed")
-        self._decoder = OCRDecoderLayer(self.num_heads, 1024, 2048,
+        self._embed = nn.Embed(self.vocab, self.d_model // 2,
+                               dtype=self.dtype, name="embed")
+        self._decoder = OCRDecoderLayer(self.num_heads, self.d_model,
+                                        2 * self.d_model,
                                         dtype=self.dtype, name="decoder")
         self._generator = nn.Dense(self.vocab, dtype=self.dtype,
                                    name="generator")
-        self._rsc_r = RadicalCounter(self.rn_loss, dtype=self.dtype,
-                                     name="rsc_r")
-        self._rsc_s = StrokeCounter(dtype=self.dtype, name="rsc_s")
+        self._rsc_r = RadicalCounter(self.rn_loss,
+                                     width_div=self.encoder_width_div,
+                                     dtype=self.dtype, name="rsc_r")
+        self._rsc_s = StrokeCounter(width_div=self.encoder_width_div,
+                                    dtype=self.dtype, name="rsc_s")
 
     def rectify(self, image: jax.Array, train: bool = False) -> jax.Array:
         if not self.stn:
@@ -173,9 +183,10 @@ class ACPM(nn.Module):
                     train: bool = False,
                     attention_map: Optional[jax.Array] = None):
         b, l = text_input.shape
-        emb = self._embed(text_input) * math.sqrt(512)
-        pe = jnp.asarray(positional_encoding_1d(512, l), dtype=emb.dtype)
-        x = jnp.concatenate([emb, jnp.broadcast_to(pe, (b, l, 512))],
+        d2 = self.d_model // 2
+        emb = self._embed(text_input) * math.sqrt(d2)
+        pe = jnp.asarray(positional_encoding_1d(d2, l), dtype=emb.dtype)
+        x = jnp.concatenate([emb, jnp.broadcast_to(pe, (b, l, d2))],
                             axis=-1)
         mask = jnp.asarray(subsequent_mask(l))[None, None]
         x, attn_map = self._decoder(x, memory, mask,

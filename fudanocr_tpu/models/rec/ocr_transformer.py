@@ -25,6 +25,7 @@ conv-cache eval loop (stroke-level-decomposition/train.py:110-121).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -84,22 +85,28 @@ class OCRResNet(nn.Module):
     stage_pools: Sequence[bool] = (True, False, False, False)
     stage_convs: Sequence[bool] = (True, True, True, False)
     head_conv: bool = True
+    # divide every channel width (smoke tests only — XLA:CPU runs the
+    # reference's 1024-ch convs at ~0.2 GFLOP/s on the 1-core CI host, so
+    # full-width app smokes cost ~30 s/step; default 1 = reference widths)
+    width_div: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        w = lambda f: max(f // self.width_div, 4)
         bn = lambda name: nn.BatchNorm(use_running_average=not train,
                                        momentum=0.9, epsilon=1e-5,
                                        dtype=self.dtype, name=name)
-        x = nn.Conv(64, (3, 3), dtype=self.dtype, name="stem1_conv")(x)
+        x = nn.Conv(w(64), (3, 3), dtype=self.dtype, name="stem1_conv")(x)
         x = nn.relu(bn("stem1_bn")(x))
         x = max_pool(x, 2)
-        x = nn.Conv(128, (3, 3), dtype=self.dtype, name="stem2_conv")(x)
+        x = nn.Conv(w(128), (3, 3), dtype=self.dtype, name="stem2_conv")(x)
         x = nn.relu(bn("stem2_bn")(x))
 
-        in_feats = 128
+        in_feats = w(128)
         for s, (n_blocks, feats) in enumerate(zip(self.layers,
                                                   self.stage_feats)):
+            feats = w(feats)
             if self.stage_pools[s]:
                 x = max_pool(x, 2)
             for i in range(n_blocks):
@@ -112,7 +119,7 @@ class OCRResNet(nn.Module):
                             name=f"stage{s}_conv")(x)
                 x = nn.relu(bn(f"stage{s}_bn")(x))
         if self.head_conv:
-            x = nn.Conv(1024, (3, 3), dtype=self.dtype, name="head_conv")(x)
+            x = nn.Conv(w(1024), (3, 3), dtype=self.dtype, name="head_conv")(x)
             x = nn.relu(bn("head_bn")(x))
         return x
 
@@ -182,6 +189,7 @@ class OCRTransformer(nn.Module):
     out_dim: Optional[int] = None  # None -> vocab logits
     stage1_pool: bool = True       # False for SLD/ACPM (2x downsample only)
     encoder_preset: Optional[str] = None  # key into OCR_RESNET_PRESETS
+    encoder_width_div: int = 1     # smoke-test channel shrink (see OCRResNet)
     dtype: Optional[Dtype] = None
 
     def setup(self):
@@ -192,7 +200,8 @@ class OCRTransformer(nn.Module):
             if not self.stage1_pool:
                 kw["stage_pools"] = (False, False, False, False)
         self._encoder = OCRResNet(self.num_in, dtype=self.dtype,
-                                  name="encoder", **kw)
+                                  name="encoder",
+                                  width_div=self.encoder_width_div, **kw)
         self._embed = nn.Embed(self.vocab, self.d_embed, dtype=self.dtype,
                                name="embed")
         self._decoder = OCRDecoderLayer(self.num_heads, self.d_model,
@@ -241,6 +250,7 @@ class OCRTransformer(nn.Module):
                 "hidden": hidden}
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4))
 def greedy_decode(model: OCRTransformer, variables, image: jax.Array,
                   max_len: int, start_id: int = 0) -> jax.Array:
     """Autoregressive greedy decode as a fixed-length device loop.
@@ -250,6 +260,10 @@ def greedy_decode(model: OCRTransformer, variables, image: jax.Array,
     so overwriting one slot per step reproduces the reference's
     conv-feature-cached eval loop (sld/train.py:110-121) with static shapes.
     Returns (B, max_len) predicted ids (token i predicted from prefix i).
+
+    Jitted end-to-end with the (hashable) module as a static arg: eval is
+    ONE device dispatch per batch — essential over the remote-TPU tunnel
+    (~1.4 s/dispatch) — and the encode + loop compile as one program.
     """
     b = image.shape[0]
     memory = model.apply(variables, image, method=model.encode)
@@ -266,12 +280,14 @@ def greedy_decode(model: OCRTransformer, variables, image: jax.Array,
     return tokens[:, 1:]
 
 
+@partial(jax.jit, static_argnums=(0, 4, 5))
 def greedy_decode_gallery(model: OCRTransformer, variables, image: jax.Array,
                           gallery: jax.Array, max_len: int,
                           start_id: int = 0) -> jax.Array:
     """Greedy decode for embedding generators (CCR-CLIP stage 2): each
     step's output embedding is L2-normalised and matched against the frozen
-    `gallery` (V, D) by cosine logits (image-ids-CTR/train.py:120-134)."""
+    `gallery` (V, D) by cosine logits (image-ids-CTR/train.py:120-134).
+    Jitted end-to-end like `greedy_decode`."""
     b = image.shape[0]
     memory = model.apply(variables, image, method=model.encode)
     g = gallery.astype(jnp.float32)

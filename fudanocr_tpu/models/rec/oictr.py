@@ -36,13 +36,15 @@ Dtype = Any
 
 
 class CharReconstructor(nn.Module):
-    """(N, 2, 2, 1024) -> (N, 32, 32, 3) deconv stack (reconstruct.py:104)."""
+    """(N, 2, 2, 2*base) -> (N, 32, 32, 3) deconv stack (reconstruct.py:104;
+    reference base=512)."""
 
+    base: int = 512
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        feats = (512, 256, 128, 64)
+        feats = (self.base, self.base // 2, self.base // 4, self.base // 8)
         for i, f in enumerate(feats):
             x = nn.ConvTranspose(f, (5, 5), strides=(2, 2), padding="SAME",
                                  dtype=self.dtype, name=f"deconv{i+1}")(x)
@@ -60,6 +62,7 @@ class OICTR(nn.Module):
     # smoke tests pass (1,1,1) to compile a structurally identical but
     # ~5x smaller graph on the 1-core CI host
     encoder_layers: Optional[Tuple[int, ...]] = None
+    encoder_width_div: int = 1  # smoke-test channel shrink (see OCRResNet)
     dtype: Optional[Dtype] = None
 
     def setup(self):
@@ -71,12 +74,13 @@ class OICTR(nn.Module):
         if self.encoder_layers is not None:
             kw["layers"] = tuple(self.encoder_layers)
         self._encoder = OCRResNet(3, dtype=self.dtype, name="encoder",
-                                  **kw)
-        self._content = nn.Conv(512, (1, 1), dtype=self.dtype,
+                                  width_div=self.encoder_width_div, **kw)
+        self._content = nn.Conv(self.d_model, (1, 1), dtype=self.dtype,
                                 name="content_extractor")
-        self._dir_conv = nn.Conv(512, (1, 1), dtype=self.dtype,
+        self._dir_conv = nn.Conv(self.d_model, (1, 1), dtype=self.dtype,
                                  name="dir_conv")
-        self._dir_linear = nn.Dense(512, dtype=self.dtype, name="dir_linear")
+        self._dir_linear = nn.Dense(self.d_model, dtype=self.dtype,
+                                    name="dir_linear")
         self._dir_cls = nn.Dense(2, dtype=self.dtype, name="direction_cls")
         self._embed = nn.Embed(self.vocab, self.d_embed, dtype=self.dtype,
                                name="embed")
@@ -87,7 +91,8 @@ class OICTR(nn.Module):
                                    name="generator")
         self._compress = nn.Dense(4, dtype=self.dtype,
                                   name="features_compress")
-        self._construct = CharReconstructor(dtype=self.dtype,
+        self._construct = CharReconstructor(base=self.d_model,
+                                            dtype=self.dtype,
                                             name="reconstructor")
 
     def encode(self, image: jax.Array, train: bool = False) -> jax.Array:
@@ -122,10 +127,11 @@ class OICTR(nn.Module):
 
     def reconstruct(self, char_maps: jax.Array,
                     dir_feats: jax.Array) -> jax.Array:
-        """char_maps (N, 512, 4), dir_feats (N, 512) -> (N, 32, 32, 3)."""
-        n = char_maps.shape[0]
-        cm = char_maps.reshape(n, 512, 2, 2).transpose(0, 2, 3, 1)
-        df = jnp.broadcast_to(dir_feats[:, None, None, :], (n, 2, 2, 512))
+        """char_maps (N, d_model, 4), dir_feats (N, d_model) ->
+        (N, 32, 32, 3); reference d_model=512."""
+        n, d = char_maps.shape[0], self.d_model
+        cm = char_maps.reshape(n, d, 2, 2).transpose(0, 2, 3, 1)
+        df = jnp.broadcast_to(dir_feats[:, None, None, :], (n, 2, 2, d))
         return self._construct(jnp.concatenate([cm, df], axis=-1))
 
     def __call__(self, image: jax.Array, text_input: jax.Array,
@@ -154,7 +160,7 @@ class OICTR(nn.Module):
         # feature) computed here so the reconstructor's params exist from
         # init; the swapped variant is a separate `reconstruct` call
         l_len = char_maps.shape[1]
-        cm_flat = char_maps.reshape(b * l_len, 512, 4)
+        cm_flat = char_maps.reshape(b * l_len, self.d_model, 4)
         df_flat = jnp.repeat(direction_feat, l_len, axis=0)
         raw_imgs = self.reconstruct(cm_flat, df_flat)
 

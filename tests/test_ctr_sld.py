@@ -34,4 +34,4 @@ def test_sld_train_smoke():
         main(["--options", "epoch=1", "batch=8", "synthetic_samples=16",
               "val_frequency=1000000", f"ckpt_dir={tmp}", "max_len=8",
               "encoder_layers=[1,1,1,1]", "d_embed=32", "d_model=64",
-              "d_ff=128"])
+              "d_ff=128", "encoder_width_div=8"])

@@ -42,7 +42,8 @@ def test_oictr_app_smoke():
     with tempfile.TemporaryDirectory() as tmp:
         main(["--options", "epoch=1", "batch=4", "synthetic_samples=8",
               "max_len=4", "imageH=32", "imageW=32", f"ckpt_dir={tmp}",
-              "val_frequency=1000000", "encoder_layers=1,1,1"])
+              "val_frequency=1000000", "encoder_layers=1,1,1",
+              "d_model=64", "d_embed=32", "encoder_width_div=8"])
 
 
 def test_acpm_app_smoke():
@@ -51,4 +52,5 @@ def test_acpm_app_smoke():
     with tempfile.TemporaryDirectory() as tmp:
         main(["--options", "epoch=1", "batch=4", "synthetic_samples=8",
               "max_len=6", f"ckpt_dir={tmp}", "val_frequency=1000000",
-              "encoder_layers=1,1,1,1"])
+              "encoder_layers=1,1,1,1", "d_model=128",
+              "encoder_width_div=8"])
