@@ -13,14 +13,21 @@ os.environ.setdefault("FUDANOCR_TENSORBOARD", "0")  # skip ~20 s TF import
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-# NOTE (suite-time experiments, round 3): lowering the XLA:CPU LLVM opt
-# level (--xla_backend_optimization_level=0 and/or
-# --xla_llvm_disable_expensive_passes=true) cuts compile-bound tests 30-50%
-# (det-guided gt smoke 207->108 s) but devectorizes the generated loops, so
-# runtime-bound smokes explode (oictr app smoke 150->595 s). Net suite time
-# is unchanged; XLA_FLAGS is process-global so it cannot be set per test.
-# Keep default codegen.
+    flags += " --xla_force_host_platform_device_count=8"
+# Suite time (round 3): the tests are LLVM-compile-bound on the 1-core CI
+# host, so lower the XLA:CPU backend opt level. Level 0 halves the
+# compile-bound tests but devectorizes loops (runtime-bound tests pay
+# ~2x: sr smoke 104->190 s, oictr full-width port parity 50->101 s);
+# level 1 keeps ~80% of the compile win while restoring baseline runtimes
+# (A/B on the three shape-defining tests: det-guided gt smoke
+# 207->140->153 s, sr smoke 104->190->89 s, oictr parity 50->101->40 s
+# for default->L0->L1). Full suite: 35 min default, 24 min L0, ~20 min L1.
+# Numerics are unaffected (same HLO math, only LLVM scheduling/
+# vectorization change); every port-parity tolerance holds at all levels.
+if "backend_optimization_level" not in flags:
+    flags += (" --xla_backend_optimization_level=1"
+              " --xla_llvm_disable_expensive_passes=true")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
