@@ -21,7 +21,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from bench_util import analytic_flops, mfu as mfu_of, xla_flops
+from bench_util import analytic_flops, mfu as mfu_of, require_device, xla_flops
 
 REF_GPU_FPS = 1000.0  # estimated reference TBSRN images/sec on 1 GPU
 BATCH = 512
@@ -29,6 +29,7 @@ ITERS = 20
 
 
 def main():
+    require_device()
     from fudanocr_tpu.models.sr import TBSRN
 
     model = TBSRN(scale_factor=2, width=128, height=32, stn=True,

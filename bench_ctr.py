@@ -21,7 +21,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from bench_util import analytic_flops, mfu as mfu_of, xla_flops
+from bench_util import analytic_flops, mfu as mfu_of, require_device, xla_flops
 
 BATCH = 32
 TRAIN_ITERS = 10
@@ -30,6 +30,7 @@ MAX_LEN = 30
 
 
 def main():
+    require_device()
     import optax
 
     from fudanocr_tpu.core.mesh import make_mesh

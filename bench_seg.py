@@ -28,7 +28,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from bench_util import analytic_flops, mfu as mfu_of, xla_flops
+from bench_util import analytic_flops, mfu as mfu_of, require_device, xla_flops
 
 REF_V100_SEG_FPS = 38.2     # 26.2 ms/im SegFormer-B0 (segformer.yml:18-38)
 TRAIN_BATCH = 2
@@ -51,6 +51,7 @@ def _timed(jitted, args, iters) -> float:
 
 
 def main():
+    require_device()
     from fudanocr_tpu.models.seg import (CascadeMiT, EncoderDecoder,
                                          SegformerHead)
     from fudanocr_tpu.core.mesh import make_mesh_for_batch

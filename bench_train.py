@@ -17,13 +17,14 @@ import time
 import jax
 import jax.numpy as jnp
 
-from bench_util import analytic_flops, mfu as mfu_of, xla_flops
+from bench_util import analytic_flops, mfu as mfu_of, require_device, xla_flops
 
 BATCH = 128
 ITERS = 10
 
 
 def main():
+    require_device()
     from fudanocr_tpu.core.mesh import make_mesh
     from fudanocr_tpu.losses.sr_losses import TextFocusLoss, encode_text_labels
     from fudanocr_tpu.models.rec.ocr_transformer import OCRTransformer

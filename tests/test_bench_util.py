@@ -74,3 +74,12 @@ def test_grad_counts_forward_and_backward():
     both = analytic_flops(jax.grad(loss), jnp.ones((32, 32)))["flops"]
     assert fwd == 2 * 32 ** 3
     assert both >= 2 * fwd  # bwd adds ~2x the forward matmul cost
+
+
+def test_require_device_passes_on_live_backend():
+    # On the CPU test backend jax.devices() answers immediately; the
+    # helper must return (the tunnel-down branch os._exit(1)s, which
+    # would fail this test by killing the process).
+    from bench_util import require_device
+
+    require_device(timeout_s=60)
