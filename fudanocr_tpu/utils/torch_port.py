@@ -617,6 +617,7 @@ PORTERS = {
     "crnn": port_crnn,
     "ocr_transformer": port_ocr_transformer,
     "ccr_clip": port_ccr_clip,
+    "oictr": port_oictr,
 }
 
 
