@@ -57,6 +57,7 @@ class InferenceServer:
         self._closed = threading.Event()
         self._submit_lock = threading.Lock()  # serializes submit vs close
         self.batch_sizes: list = []  # bucket sizes actually run (stats)
+        self.latencies_ms: list = []  # per-request submit->result (stats)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -69,8 +70,29 @@ class InferenceServer:
             if self._closed.is_set():
                 raise RuntimeError("server is closed")
             fut: Future = Future()
+            fut._enqueued_at = time.perf_counter()  # for stats()
             self._q.put((np.asarray(image), fut))
         return fut
+
+    def warmup(self, example_image) -> None:
+        """Pre-compile every bucket shape so serve-time requests never pay
+        an XLA compile (first compile over a remote TPU link can be tens of
+        seconds — far beyond any max_wait_ms budget)."""
+        x1 = np.asarray(example_image)[None]
+        for b in self.buckets:
+            x = np.repeat(x1, b, axis=0)
+            jax.block_until_ready(self._apply(jnp.asarray(x)))
+
+    def stats(self) -> dict:
+        """Request latencies (ms, submit -> result) and batch-size usage."""
+        lat = sorted(self.latencies_ms)
+        if not lat:
+            return {"requests": 0, "batches": list(self.batch_sizes)}
+        pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
+        return {"requests": len(lat), "p50_ms": round(pick(0.50), 3),
+                "p99_ms": round(pick(0.99), 3),
+                "max_ms": round(lat[-1], 3),
+                "batches": list(self.batch_sizes)}
 
     def close(self):
         with self._submit_lock:
@@ -138,7 +160,10 @@ class InferenceServer:
                 pad = np.repeat(x[:1], bucket - take, axis=0)
                 x = np.concatenate([x, pad], axis=0)
             out = np.asarray(self._apply(jnp.asarray(x)))
+            done = time.perf_counter()
             for i, fut in enumerate(futs):
+                self.latencies_ms.append(
+                    (done - getattr(fut, "_enqueued_at", done)) * 1e3)
                 fut.set_result(out[i])
         except Exception as e:  # surface compile/runtime errors per-request
             for fut in futs:

@@ -102,3 +102,17 @@ def test_apply_errors_propagate_and_close_rejects():
     srv.close()
     with pytest.raises(RuntimeError):
         srv.submit(np.ones((2, 2, 1), np.float32))
+
+
+def test_warmup_and_stats():
+    srv = InferenceServer(_double, buckets=(1, 4), max_wait_ms=2.0)
+    srv.warmup(np.ones((2, 2, 1), np.float32))  # compiles both buckets
+    assert srv.stats()["requests"] == 0
+    futs = [srv.submit(np.full((2, 2, 1), i, np.float32)) for i in range(5)]
+    for i, f in enumerate(futs):
+        np.testing.assert_allclose(f.result(timeout=30), 2.0 * i)
+    srv.close()
+    s = srv.stats()
+    assert s["requests"] == 5
+    assert 0.0 <= s["p50_ms"] <= s["p99_ms"] <= s["max_ms"]
+    assert sum(s["batches"]) >= 5
