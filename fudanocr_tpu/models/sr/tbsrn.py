@@ -46,29 +46,50 @@ class FeatureEnhancer(nn.Module):
     height: int
     width: int
     dtype: Optional[Dtype] = None
+    fuse: Any = False  # whole-block Pallas kernel at inference (see
+    # ops/fused_enhancer.py); False / True / "force" (tests: bypass the
+    # backend gate and run in interpret mode). Default off until benched
+    # on-chip.
 
     @nn.compact
     def __call__(self, tokens: jax.Array, deterministic: bool = True) -> jax.Array:
+        from fudanocr_tpu.ops.fused_enhancer import (fused_enhancer,
+                                                     fused_enhancer_supported)
+
         b, l, c = tokens.shape
         d_model = c + 64  # 128 for the reference's 64-channel trunk
         pe = positional_encoding_2d(64, self.height, self.width)
         pe = jnp.asarray(pe.reshape(64, l).T, dtype=tokens.dtype)  # (L, 64)
         x = jnp.concatenate([tokens, jnp.broadcast_to(pe, (b, l, 64))], axis=-1)
 
+        use_fused = bool(self.fuse) and deterministic and (
+            self.fuse == "force"  # tests: run the kernel in interpret mode
+            or (jax.default_backend() != "cpu"  # interpret-mode is slow by
+                # default; the kernel is CPU-tested in test_fused_enhancer.py
+                and fused_enhancer_supported(l, d_model, 4)))
+        # In fused mode the sublayer chain still runs on an 8-token stub so
+        # the param tree is identical in both modes (XLA DCEs the dead ops).
+        xs = x[:1, :8, :] if use_fused else x
+
         attn_out, _ = MultiHeadAttention(
             num_heads=4, d_model=d_model, dtype=self.dtype, use_flash=True,
             name="mha")(
-                x, x, x, deterministic=deterministic, need_weights=False)
-        x = TorchLayerNorm(name="ln1")(x, residual=attn_out)
+                xs, xs, xs, deterministic=deterministic, need_weights=False)
+        h = TorchLayerNorm(name="ln1")(xs, residual=attn_out)
 
-        y = nn.Dense(d_model, dtype=self.dtype, name="pff_w1")(x)
+        y = nn.Dense(d_model, dtype=self.dtype, name="pff_w1")(h)
         y = nn.relu(y)
         if not deterministic:
             y = nn.Dropout(0.1)(y, deterministic=deterministic)
         y = nn.Dense(d_model, dtype=self.dtype, name="pff_w2")(y)
-        x = TorchLayerNorm(name="ln2")(x, residual=y)
+        h = TorchLayerNorm(name="ln2")(h, residual=y)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(h)
 
-        return nn.Dense(c, dtype=self.dtype, name="proj")(x)
+        if not use_fused:
+            return out
+        params = {k: self.get_variable("params", k)
+                  for k in ("mha", "ln1", "pff_w1", "pff_w2", "ln2", "proj")}
+        return fused_enhancer(x, params, heads=4)
 
 
 class TransformerResidualBlock(nn.Module):
@@ -76,6 +97,7 @@ class TransformerResidualBlock(nn.Module):
 
     features: int
     dtype: Optional[Dtype] = None
+    fuse_enhancer: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -90,6 +112,7 @@ class TransformerResidualBlock(nn.Module):
 
         tokens = r.reshape(b, h * w, c)
         tokens = FeatureEnhancer(height=h, width=w, dtype=self.dtype,
+                                 fuse=self.fuse_enhancer,
                                  name="enhancer")(tokens,
                                                   deterministic=not train)
         return x + tokens.reshape(b, h, w, c)
@@ -106,6 +129,7 @@ class TBSRN(nn.Module):
     remat: bool = False       # rematerialize SRBs (big-batch training: the
     # train path keeps fp32 attention probs for dropout; remat trades the
     # recompute for fitting reference-scale global batches per chip)
+    fused_enhancer: Any = False  # whole-enhancer Pallas kernel (inference)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -137,6 +161,7 @@ class TBSRN(nn.Module):
                      if self.remat else TransformerResidualBlock)
         for i in range(self.srb_nums):
             h = block_cls(feats, dtype=self.dtype,
+                          fuse_enhancer=self.fused_enhancer,
                           name=f"srb{i}")(h, train)
         h = ConvBN(feats, dtype=self.dtype, name="trunk_tail")(h, train)
 
