@@ -24,10 +24,10 @@ def main():
     require_device()
     from fudanocr_tpu.models.sr import TBSRN
 
-    model = TBSRN(scale_factor=2, width=128, height=32, stn=True,
-                  srb_nums=5, hidden_units=32, dtype=jnp.bfloat16)
-
-    for batch in BATCHES:
+    for fused, batch in [(f, b) for f in (False, True) for b in BATCHES]:
+        model = TBSRN(scale_factor=2, width=128, height=32, stn=True,
+                      srb_nums=5, hidden_units=32, dtype=jnp.bfloat16,
+                      fused_enhancer=fused)
         x0 = jax.random.uniform(jax.random.PRNGKey(0), (batch, 16, 64, 3),
                                 jnp.float32)
         variables = jax.jit(model.init)(jax.random.PRNGKey(1), x0)
@@ -51,6 +51,7 @@ def main():
         fps = batch * ITERS / dt
         print(json.dumps({
             "metric": "tbsrn_sr_inference_sweep",
+            "fused_enhancer": fused,
             "batch": batch,
             "value": round(fps, 1),
             "unit": "images/sec/chip",
