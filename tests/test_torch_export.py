@@ -42,15 +42,22 @@ def _import_ref(root, module):
         sys.path.pop(0)
 
 
-def _materialize(meta_sd):
+def _materialize(meta_sd, cap=None):
     """Fill a meta-device state_dict with globally-unique values (float
-    params become float64 so large global offsets stay exact)."""
+    params become float64 so large global offsets stay exact).
+
+    With `cap`, every dimension is clamped to at most `cap` elements: the
+    porters only MOVE elements (they never derive structure from sizes
+    beyond consistent splits), so the round-trip property is
+    size-independent — one full-width test keeps large-count coverage."""
     out, off = {}, 0
     for k, v in meta_sd.items():
-        n = v.numel()
+        shape = (tuple(min(int(s), cap) for s in v.shape) if cap
+                 else tuple(v.shape))
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
         vals = torch.arange(off, off + n)
         out[k] = (vals if not v.dtype.is_floating_point
-                  else vals.double()).reshape(v.shape)
+                  else vals.double()).reshape(shape)
         off += n
     return out
 
@@ -187,7 +194,9 @@ def test_oictr_export_roundtrip():
     mod = _import_ctr_transformer(REF_OICTR)
     with torch.device("meta"):
         ref = mod.Transformer()
-    _roundtrip("oictr", _materialize(ref.state_dict()))
+    # dim-capped: the full model is 201M elements of pure CPU churn; the
+    # key set (incl. the unread reconstructor) is what this test is about
+    _roundtrip("oictr", _materialize(ref.state_dict(), cap=10))
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_ACPM), reason="reference absent")
@@ -195,7 +204,7 @@ def test_acpm_export_roundtrip():
     mod = _import_ctr_transformer(REF_ACPM)
     with torch.device("meta"):
         ref = mod.Transformer("radical")
-    _roundtrip("acpm", _materialize(ref.state_dict()))
+    _roundtrip("acpm", _materialize(ref.state_dict(), cap=10))
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_CLIP), reason="reference absent")
