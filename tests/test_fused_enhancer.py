@@ -60,3 +60,18 @@ def test_fused_flag_off_is_noop_on_cpu():
     v = ref.init(jax.random.PRNGKey(3), x)
     np.testing.assert_array_equal(np.asarray(ref.apply(v, x)),
                                   np.asarray(flagged.apply(v, x)))
+
+
+def test_fused_cost_estimate_matches_unfused_flops():
+    """The kernel's declared CostEstimate must agree with the jaxpr-walk
+    flop count of the unfused chain (the analytic-MFU accounting in
+    bench_util relies on declared costs for Pallas calls)."""
+    from bench_util import analytic_flops
+
+    ref = FeatureEnhancer(height=H, width=W)
+    fused = FeatureEnhancer(height=H, width=W, fuse="force")
+    x = jnp.ones((B, H * W, C), jnp.float32)
+    v = ref.init(jax.random.PRNGKey(4), x)
+    a = analytic_flops(lambda v, x: ref.apply(v, x), v, x)["flops"]
+    b = analytic_flops(lambda v, x: fused.apply(v, x), v, x)["flops"]
+    assert abs(b - a) / a < 0.01, (a, b)
