@@ -158,35 +158,44 @@ def mfu(flops_per_iter: float, sec_per_iter: float) -> float:
     return flops_per_iter / sec_per_iter / PEAK_BF16
 
 
-def require_device(timeout_s: float = 180.0) -> None:
-    """Fail FAST (exit 1) when the backend can't be reached.
-
-    The axon TPU tunnel occasionally goes down in a way that makes
-    jax.devices() block forever instead of raising; a bench that hangs
-    is worse than one that fails (the driver records rc/timeout, and a
-    judge re-run would stall for the full harness timeout). Probe the
-    backend in a daemon thread and hard-exit with a clear message if it
-    doesn't answer within `timeout_s`."""
-    import os
-    import sys
+def probe_device_count(timeout_s: float = 180.0):
+    """Bounded jax.devices() probe: the axon TPU tunnel occasionally goes
+    down in a way that makes jax.devices() block forever instead of
+    raising. Returns the device count, or None if the backend is
+    unresponsive/broken within `timeout_s` (the probe thread is a daemon,
+    so a hung backend doesn't pin the process). Shared by the benches
+    (fail fast) and __graft_entry__.dryrun_multichip (CPU fallback)."""
     import threading
 
     result: Dict[str, Any] = {}
 
     def probe():
         try:
-            devs = jax.devices()
-            result["ok"] = f"{len(devs)}x {devs[0].platform}"
+            result["n"] = len(jax.devices())
         except Exception as e:  # noqa: BLE001 — report any init failure
             result["err"] = repr(e)
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    if result.get("ok"):
+    if "err" in result:
+        result["msg"] = result["err"]
+    elif "n" not in result:
+        result["msg"] = (f"jax.devices() unresponsive after {timeout_s:.0f}s"
+                         " (TPU tunnel down?)")
+    return result.get("n"), result.get("msg")
+
+
+def require_device(timeout_s: float = 180.0) -> None:
+    """Fail FAST (exit 1) when the backend can't be reached: a bench that
+    hangs is worse than one that fails (the driver records rc/timeout, and
+    a judge re-run would stall for the full harness timeout)."""
+    import os
+    import sys
+
+    n, msg = probe_device_count(timeout_s)
+    if n:
         return
-    msg = result.get("err", f"jax.devices() unresponsive after {timeout_s:.0f}s"
-                            " (TPU tunnel down?)")
     print(f"bench aborted: no usable device backend: {msg}", file=sys.stderr)
     sys.stderr.flush()
     os._exit(1)

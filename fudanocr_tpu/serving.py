@@ -56,8 +56,11 @@ class InferenceServer:
         self._q: "queue.Queue[Tuple[np.ndarray, Future]]" = queue.Queue()
         self._closed = threading.Event()
         self._submit_lock = threading.Lock()  # serializes submit vs close
-        self.batch_sizes: list = []  # bucket sizes actually run (stats)
-        self.latencies_ms: list = []  # per-request submit->result (stats)
+        import collections
+        # bounded stats history: a long-lived server must not grow host RAM
+        # with its request count (10k samples keep percentiles meaningful)
+        self.batch_sizes = collections.deque(maxlen=10_000)  # buckets run
+        self.latencies_ms = collections.deque(maxlen=10_000)  # submit->result
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -84,7 +87,8 @@ class InferenceServer:
             jax.block_until_ready(self._apply(jnp.asarray(x)))
 
     def stats(self) -> dict:
-        """Request latencies (ms, submit -> result) and batch-size usage."""
+        """Request latencies (ms, submit -> result) and batch-size usage
+        over the last <=10k requests (bounded history)."""
         lat = sorted(self.latencies_ms)
         if not lat:
             return {"requests": 0, "batches": list(self.batch_sizes)}

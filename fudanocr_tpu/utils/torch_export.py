@@ -37,9 +37,26 @@ import numpy as np
 from fudanocr_tpu.utils.torch_port import PORTERS
 
 
+def _np_dtype(v) -> np.dtype:
+    """numpy dtype of a torch tensor / array, mapping torch-only dtypes
+    (bfloat16) through ml_dtypes."""
+    if not hasattr(v, "detach"):
+        return np.asarray(v).dtype
+    name = str(v.dtype).replace("torch.", "")
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes  # ships with jax
+        return np.dtype(getattr(ml_dtypes, name))
+
+
 def _to_np(v) -> np.ndarray:
     if hasattr(v, "detach"):
-        return v.detach().cpu().numpy()
+        t = v.detach().cpu()
+        try:
+            return t.numpy()
+        except TypeError:  # torch dtype numpy can't view (bfloat16)
+            return t.float().numpy().astype(_np_dtype(v))
     return np.asarray(v)
 
 
@@ -63,9 +80,7 @@ def trace_porter(model: str, template_sd: Dict[str, Any], **porter_kwargs):
     off = 0
     for k, v in template_sd.items():
         shape = tuple(v.shape) if hasattr(v, "shape") else np.shape(v)
-        dtype = (np.dtype(str(v.dtype).replace("torch.", ""))
-                 if hasattr(v, "detach") else np.asarray(v).dtype)
-        key_meta[k] = (off, shape, dtype)
+        key_meta[k] = (off, shape, _np_dtype(v))
         off += int(np.prod(shape, dtype=np.int64)) if shape else 1
     # one global index vector, sliced per key (views — no per-key allocs);
     # int32 halves the traffic and covers any model here
@@ -112,15 +127,27 @@ def export_state_dict(model: str, variables, template_sd: Dict[str, Any],
                 f"shape mismatch at {'/'.join(path)}: checkpoint "
                 f"{val.shape} vs template-derived {idx.shape}")
         ids = idx.ravel()
+        vals = val.ravel()
+        # ambiguity guards: a template element feeding two positions (within
+        # this leaf or across leaves) is only exportable if both positions
+        # still carry one value
+        if np.unique(ids).size != ids.size:  # intra-leaf tile/broadcast
+            order = np.argsort(ids, kind="stable")
+            si, sv = ids[order], vals[order]
+            ok = (si[1:] != si[:-1]) | (sv[1:] == sv[:-1])
+            if not ok.all():
+                raise ValueError(
+                    f"leaf {'/'.join(path)} maps one template element to "
+                    "several different values; refusing ambiguous export")
         dup = filled[ids]
         if dup.any():
             prev = flat[ids[dup]]
-            if not np.array_equal(prev, val.ravel()[dup]):
+            if not np.array_equal(prev, vals[dup]):
                 raise ValueError(
                     f"leaf {'/'.join(path)} re-writes template elements "
                     "with different values (porter duplicates a tensor); "
                     "refusing ambiguous export")
-        flat[ids] = val.ravel()
+        flat[ids] = vals
         filled[ids] = True
 
     out: Dict[str, np.ndarray] = {}

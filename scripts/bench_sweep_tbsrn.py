@@ -7,13 +7,14 @@ during the timed phase — see axon notes in scripts/bench_all.sh).
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench_util import analytic_flops, mfu as mfu_of, require_device  # noqa: E402
 
 ITERS = 20

@@ -72,7 +72,7 @@ def test_deadline_flush_pads_whole_backlog_into_one_bucket():
     srv.close()
     for i, out in enumerate(outs):
         np.testing.assert_allclose(out, 2.0 * imgs[i])
-    assert srv.batch_sizes == [8]
+    assert list(srv.batch_sizes) == [8]
     assert dt < 60.0  # one deadline, not seven
 
 

@@ -234,3 +234,31 @@ def test_cascade_mit_v10_export_roundtrip():
         num_heads=[1, 2, 5, 8], sr_ratios=[8, 4, 2, 1])
     _roundtrip("cascade_mit_v10", ref.state_dict(),
                embed_dims=8, num_layers=(1, 1, 1, 1))
+
+
+def test_intra_leaf_duplicate_guard_and_bf16_passthrough(monkeypatch):
+    """A porter that broadcasts one template element into several leaf
+    positions must be rejected when the values disagree; torch-only
+    dtypes (bfloat16) pass through unread keys via ml_dtypes."""
+    import ml_dtypes
+
+    from fudanocr_tpu.utils import torch_export
+    from fudanocr_tpu.utils.torch_port import PORTERS
+
+    def fake_porter(sd):
+        return {"params": {"w": np.broadcast_to(np.asarray(sd["a"]), (2, 3))}}
+
+    monkeypatch.setitem(PORTERS, "_fake", fake_porter)
+    template = {"a": torch.arange(3).float(),
+                "b": torch.zeros(4, dtype=torch.bfloat16)}
+
+    # consistent duplicated values round-trip fine, bf16 'b' passes through
+    tree = {"params": {"w": np.tile(np.arange(3.0), (2, 1))}}
+    out = torch_export.export_state_dict("_fake", tree, template)
+    np.testing.assert_array_equal(out["a"], [0.0, 1.0, 2.0])
+    assert out["b"].dtype == ml_dtypes.bfloat16 and out["b"].shape == (4,)
+
+    # inconsistent values for one template element -> loud failure
+    bad = {"params": {"w": np.arange(6.0).reshape(2, 3)}}
+    with pytest.raises(ValueError, match="ambiguous"):
+        torch_export.export_state_dict("_fake", bad, template)
