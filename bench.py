@@ -54,9 +54,18 @@ def main():
     compiled = jax.jit(chain).lower(variables, x0).compile()
     # analytic per-forward flops (bench_util: jaxpr walk, Pallas kernels
     # credited via their CostEstimate; the raw cost_analysis counts a
-    # scan body ONCE so it is only printed as a cross-check)
+    # scan body ONCE so it is only printed as a cross-check). Counted on
+    # the PLAIN-math variant of the model — the lane-packed RGB head
+    # multiplies structural zeros (ops/wide_conv.py) and the fused
+    # enhancer hoists the batch-constant PE-qkv term, so the optimized
+    # program's own flop count would respectively over- and under-state
+    # the algorithm's work. Same convention as flash-attention MFU:
+    # numerator = standard-algorithm flops, denominator = measured time.
+    plain = TBSRN(scale_factor=2, width=128, height=32, stn=True,
+                  srb_nums=5, hidden_units=32, dtype=jnp.bfloat16,
+                  fused_enhancer=False, wide_out_block=0)
     fwd_flops = analytic_flops(
-        lambda v, x: model.apply(v, x), variables, x0)["flops"]
+        lambda v, x: plain.apply(v, x), variables, x0)["flops"]
     compiled(variables, x0)[0].item()  # warm
 
     t0 = time.perf_counter()

@@ -31,6 +31,7 @@ from fudanocr_tpu.nn.layers import PReLU, TorchLayerNorm, mish
 from fudanocr_tpu.nn.stn import STNHead
 from fudanocr_tpu.nn.tps import TPSSpatialTransformer
 from fudanocr_tpu.models.sr.common import ConvBN, UpsampleBlock
+from fudanocr_tpu.ops.wide_conv import NarrowOutputConv
 
 Dtype = Any
 
@@ -60,16 +61,25 @@ class FeatureEnhancer(nn.Module):
         d_model = c + 64  # 128 for the reference's 64-channel trunk
         pe = positional_encoding_2d(64, self.height, self.width)
         pe = jnp.asarray(pe.reshape(64, l).T, dtype=tokens.dtype)  # (L, 64)
-        x = jnp.concatenate([tokens, jnp.broadcast_to(pe, (b, l, 64))], axis=-1)
 
         use_fused = bool(self.fuse) and deterministic and (
             self.fuse == "force"  # tests: run the kernel in interpret mode
             or (jax.default_backend() != "cpu"  # interpret-mode is slow by
                 # default; the kernel is CPU-tested in test_fused_enhancer.py
                 and fused_enhancer_supported(l, d_model, 4)))
-        # In fused mode the sublayer chain still runs on an 8-token stub so
-        # the param tree is identical in both modes (XLA DCEs the dead ops).
-        xs = x[:1, :8, :] if use_fused else x
+        # The (B, L, D) tokens-with-PE concat only materializes on the
+        # unfused path — the kernel takes raw tokens and the (L, 64) PE
+        # row (its batch-constant qkv term precomputed), saving five
+        # (B, L, D) HBM materializations per forward. In fused mode the
+        # sublayer chain still runs on an 8-token stub so the param tree
+        # is identical in both modes (XLA DCEs the dead ops).
+        if use_fused:
+            xs = jnp.concatenate(
+                [tokens[:1, :8, :], jnp.broadcast_to(pe[:8], (1, 8, 64))],
+                axis=-1)
+        else:
+            xs = jnp.concatenate(
+                [tokens, jnp.broadcast_to(pe, (b, l, 64))], axis=-1)
 
         attn_out, _ = MultiHeadAttention(
             num_heads=4, d_model=d_model, dtype=self.dtype, use_flash=True,
@@ -89,7 +99,7 @@ class FeatureEnhancer(nn.Module):
             return out
         params = {k: self.get_variable("params", k)
                   for k in ("mha", "ln1", "pff_w1", "pff_w2", "ln2", "proj")}
-        return fused_enhancer(x, params, heads=4)
+        return fused_enhancer(tokens, pe, params, heads=4)
 
 
 class TransformerResidualBlock(nn.Module):
@@ -133,6 +143,9 @@ class TBSRN(nn.Module):
     # inference (deterministic), TPU backend, and supported (L, d) inside
     # FeatureEnhancer — training and CPU runs are unaffected. On-chip A/B
     # (BENCH_SWEEP_r03.json): 6955 -> 8195 img/s at batch 512 (+18%).
+    wide_out_block: int = 32  # lane-packed RGB head (ops/wide_conv.py):
+    # the 9x9 64->3 out conv re-blocked so output tiles fill 96/128 lanes
+    # instead of 3/128. 0 disables; non-divisible widths fall back.
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -171,5 +184,6 @@ class TBSRN(nn.Module):
         h = stem + h
         for i in range(n_up):
             h = UpsampleBlock(feats, 2, dtype=self.dtype, name=f"up{i}")(h)
-        h = nn.Conv(in_planes, (9, 9), dtype=self.dtype, name="out_conv")(h)
+        h = NarrowOutputConv(in_planes, (9, 9), block=self.wide_out_block,
+                             dtype=self.dtype, name="out_conv")(h)
         return jnp.tanh(h)

@@ -21,6 +21,7 @@ from fudanocr_tpu.nn.layers import PReLU, mish
 from fudanocr_tpu.nn.recurrent import SpatialGRU
 from fudanocr_tpu.nn.stn import STNHead
 from fudanocr_tpu.nn.tps import TPSSpatialTransformer
+from fudanocr_tpu.ops.wide_conv import NarrowOutputConv
 from fudanocr_tpu.models.sr.common import ConvBN, UpsampleBlock
 
 Dtype = Any
@@ -88,5 +89,6 @@ class TSRN(nn.Module):
         h = stem + h
         for i in range(n_up):
             h = UpsampleBlock(feats, 2, dtype=self.dtype, name=f"up{i}")(h)
-        h = nn.Conv(in_planes, (9, 9), dtype=self.dtype, name="out_conv")(h)
+        h = NarrowOutputConv(in_planes, (9, 9), dtype=self.dtype,
+                             name="out_conv")(h)
         return jnp.tanh(h)

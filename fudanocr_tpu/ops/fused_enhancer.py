@@ -8,12 +8,17 @@ bandwidth/overhead-bound, not FLOP-bound: qkv matmul, attention kernel,
 out-projection, fused-LN kernel, two FFN matmuls, second LN and the
 64-d projection each round-trip their operands through HBM (~5.5 MB per
 enhancer-image against ~0.4 MB of essential traffic). This kernel keeps
-the entire block in VMEM: x is read once, the 64-d output written once,
-and every intermediate (fused qkv, per-head attention with deferred
-softmax normalisation as in ops/flash_attention.py, both torch-semantics
-LayerNorms from ops/fused_layernorm.py's formula, the FFN) lives in
-registers/VMEM scratch. fp32 accumulation everywhere; activations round
-to the input dtype at the same points the unfused module path does.
+the entire block in VMEM: the raw 64-d tokens are read once, the 64-d
+output written once, and every intermediate (fused qkv, per-head
+attention with deferred softmax normalisation as in
+ops/flash_attention.py, both torch-semantics LayerNorms from
+ops/fused_layernorm.py's formula, the FFN) lives in registers/VMEM
+scratch. The 2D positional encoding is constant across the batch, so its
+qkv contribution (pe @ W_bot + b) is hoisted out of the grid entirely —
+the kernel contracts only the token half of Wqkv (half the qkv FLOPs)
+and the (B, L, 128) tokens-with-PE concat never touches HBM. fp32
+accumulation everywhere; activations round to the input dtype at the
+same points the unfused module path does.
 
 Inference-only (no dropout, no custom VJP): the training path keeps the
 composable kernels whose in-kernel-dropout backward already exists.
@@ -58,24 +63,36 @@ def _dense(x, w_ref, b_ref, dtype):
     return y + b_ref[...].astype(jnp.float32)
 
 
-def _enhancer_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+def _enhancer_kernel(t_ref, pe_ref, peqkv_ref, wtop_ref, wout_ref, bout_ref,
                      s1_ref, b1_ref, w1_ref, bf1_ref, w2_ref, bf2_ref,
                      s2_ref, b2_ref, wp_ref, bp_ref, o_ref, attn_ref, *,
                      heads: int, eps: float):
-    dt = x_ref.dtype
-    x = x_ref[0]                                   # (L, D)
+    dt = t_ref.dtype
+    t = t_ref[0]                                   # (L, C) raw tokens
+    pe = pe_ref[...]                               # (L, D-C) constant PE
+    x = jnp.concatenate([t, pe], axis=-1)          # (L, D) tokens-with-PE
     d = x.shape[-1]
     dh = d // heads
     scale = 1.0 / math.sqrt(dh)
 
-    qkv = _dense(x, wqkv_ref, bqkv_ref, dt).astype(dt)   # (L, 3D)
+    # qkv = x @ Wqkv + b, split as tokens @ W_top + (pe @ W_bot + b): the
+    # PE term is constant across the batch and arrives precomputed
+    # (peqkv_ref, fp32) — half the qkv matmul FLOPs and no (B, L, D)
+    # concat materialization outside the kernel.
+    qkv32 = jax.lax.dot_general(
+        t, wtop_ref[...].astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + peqkv_ref[...]
+    # fold the softmax scale into q once — a (L, D) pass instead of a
+    # (L, L) pass per head on the fp32 scores
+    qkv = jnp.concatenate(
+        [qkv32[:, :d] * scale, qkv32[:, d:]], axis=-1).astype(dt)
     for h in range(heads):
         q = qkv[:, h * dh:(h + 1) * dh]
         k = qkv[:, d + h * dh:d + (h + 1) * dh]
         v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -97,17 +114,27 @@ def _enhancer_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "eps"))
-def fused_enhancer(x: jax.Array, params: dict, heads: int = 4,
-                   eps: float = 1e-6) -> jax.Array:
-    """Run the full enhancer block on (B, L, D) tokens-with-PE.
+def fused_enhancer(tokens: jax.Array, pe: jax.Array, params: dict,
+                   heads: int = 4, eps: float = 1e-6) -> jax.Array:
+    """Run the full enhancer block on (B, L, C) raw tokens + (L, D-C) PE.
 
     `params` is the FeatureEnhancer param subtree (mha/qkv, mha/out, ln1,
-    pff_w1, pff_w2, ln2, proj as created by the flax module). Returns the
+    pff_w1, pff_w2, ln2, proj as created by the flax module). The PE is
+    constant across the batch, so its qkv contribution (pe @ W_bot + b) is
+    computed here ONCE and fed to the kernel — the kernel multiplies only
+    the (B, L, C) tokens against the top C rows of Wqkv. Returns the
     (B, L, C_out) projection output (C_out = proj kernel's fan-out)."""
-    b, l, d = x.shape
+    b, l, c = tokens.shape
+    d = c + pe.shape[-1]
     c_out = params["proj"]["kernel"].shape[-1]
+    dt = tokens.dtype
+    wqkv = params["mha"]["qkv"]["kernel"]
+    peqkv = jax.lax.dot_general(
+        pe.astype(dt), wqkv[c:].astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32
+    ) + params["mha"]["qkv"]["bias"].astype(jnp.float32)
     weights = [
-        params["mha"]["qkv"]["kernel"], params["mha"]["qkv"]["bias"],
+        wqkv[:c],
         params["mha"]["out"]["kernel"], params["mha"]["out"]["bias"],
         params["ln1"]["scale"], params["ln1"]["bias"],
         params["pff_w1"]["kernel"], params["pff_w1"]["bias"],
@@ -117,25 +144,26 @@ def fused_enhancer(x: jax.Array, params: dict, heads: int = 4,
     ]
     # 1-D biases/scales become (1, n) rows (lane layout; broadcast in-kernel)
     weights = [w if w.ndim == 2 else w.reshape(1, -1) for w in weights]
-    operands = (x, *weights)
-    shared = [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in weights]
+    shared_in = [pe, peqkv] + weights
+    operands = (tokens, *shared_in)
+    shared = [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in shared_in]
     dh = d // heads
-    flops = 2 * b * l * (d * 3 * d                      # qkv
+    flops = 2 * b * l * (c * 3 * d                      # tokens @ W_top
                          + heads * 2 * l * dh           # scores + pv
                          + d * d                        # out proj
                          + 2 * d * d                    # ffn
                          + d * c_out)                   # final proj
     return pl.pallas_call(
         functools.partial(_enhancer_kernel, heads=heads, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((b, l, c_out), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, l, c_out), dt),
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, l, d), lambda i: (i, 0, 0))] + shared,
+        in_specs=[pl.BlockSpec((1, l, c), lambda i: (i, 0, 0))] + shared,
         out_specs=pl.BlockSpec((1, l, c_out), lambda i: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((l, d), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((l, d), dt)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             transcendentals=b * heads * l * l + 4 * b * l,  # exp + LN rsqrt
-            bytes_accessed=b * l * (d + c_out) * jnp.dtype(x.dtype).itemsize,
+            bytes_accessed=b * l * (c + c_out) * jnp.dtype(dt).itemsize,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
