@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from bench_util import analytic_flops, mfu as mfu_of, require_device, xla_flops
 
 REF_GPU_FPS = 1000.0  # estimated reference TBSRN images/sec on 1 GPU
-BATCH = 512
+BATCH = 2048          # throughput knee (BENCH_SWEEP_r03.json: +2% over 512)
 ITERS = 20
 
 

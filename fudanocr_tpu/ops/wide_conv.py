@@ -49,8 +49,9 @@ def wide_output_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
 
     x (B, H, W, Cin) NHWC, kernel (kh, kw, Cin, Cout) HWIO with odd kh/kw,
     W % block == 0 and kw - 1 <= block (so one strided window spans the
-    whole halo). Accumulates in fp32 like lax.conv with
-    preferred_element_type.
+    whole halo). Computes at the operands' dtype like flax nn.Conv (the
+    TPU conv still accumulates fp32 internally for bf16 operands); no
+    preferred_element_type so the VJP convs keep uniform dtypes.
     """
     b, h, w, cin = x.shape
     kh, kw, _, cout = kernel.shape
@@ -62,8 +63,7 @@ def wide_output_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     y = jax.lax.conv_general_dilated(
         xp, kp, window_strides=(1, block),
         padding=((ph, ph), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     y = y.reshape(b, h, w, cout)
     return y + bias.astype(y.dtype)
 
@@ -94,11 +94,10 @@ class NarrowOutputConv(nn.Module):
         w = x.shape[2]
         block = self.block
         if block and w % block == 0 and kw - 1 <= block:
-            y = wide_output_conv(xc, kc, bias.astype(jnp.float32), block)
+            y = wide_output_conv(xc, kc, bias.astype(dt), block)
         else:
             y = jax.lax.conv_general_dilated(
                 xc, kc, window_strides=(1, 1), padding="SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
             y = y + bias.astype(y.dtype)
         return y.astype(dt)

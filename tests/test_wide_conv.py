@@ -13,9 +13,8 @@ from fudanocr_tpu.ops.wide_conv import NarrowOutputConv, wide_output_conv
 def _ref_conv(x, k, b):
     y = jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return y + b
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b.astype(y.dtype)
 
 
 def test_wide_output_conv_matches_lax_conv_fp32():
