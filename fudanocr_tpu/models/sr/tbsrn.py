@@ -103,15 +103,36 @@ class FeatureEnhancer(nn.Module):
 
 
 class TransformerResidualBlock(nn.Module):
-    """conv-BN-mish-conv-BN then FeatureEnhancer, residual (tbsrn.py:229-257)."""
+    """conv-BN-mish-conv-BN then FeatureEnhancer, residual (tbsrn.py:229-257).
+
+    With `fuse_srb` on (inference, TPU backend, supported geometry) the
+    ENTIRE block runs as one Pallas kernel (ops/fused_srb.py): inference
+    BN folds into the conv weights, the convs become in-VMEM shifted
+    matmuls, and the enhancer + residual never leave the chip — this
+    also removes the batch-minor<->default relayout copies XLA otherwise
+    inserts at every Pallas boundary (see ops/fused_srb.py docstring).
+    The module chain still runs on an 8x8 stub so the param/batch_stats
+    trees are identical in both modes (XLA DCEs the dead stub ops)."""
 
     features: int
     dtype: Optional[Dtype] = None
     fuse_enhancer: Any = False
+    fuse_srb: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from fudanocr_tpu.ops.fused_srb import fused_srb, fused_srb_supported
+
+        xin = x
         b, h, w, c = x.shape
+        use_srb_kernel = bool(self.fuse_srb) and not train and (
+            self.fuse_srb == "force"  # tests: interpret mode on CPU
+            or (jax.default_backend() != "cpu"
+                and fused_srb_supported(h, w, self.features, 4)))
+        if use_srb_kernel:
+            x = x[:1, :8, :8, :]
+            b, h, w = 1, 8, 8
+
         r = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv1")(x)
         r = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(r)
@@ -122,10 +143,23 @@ class TransformerResidualBlock(nn.Module):
 
         tokens = r.reshape(b, h * w, c)
         tokens = FeatureEnhancer(height=h, width=w, dtype=self.dtype,
-                                 fuse=self.fuse_enhancer,
+                                 fuse=(False if use_srb_kernel
+                                       else self.fuse_enhancer),
                                  name="enhancer")(tokens,
                                                   deterministic=not train)
-        return x + tokens.reshape(b, h, w, c)
+        out = x + tokens.reshape(b, h, w, c)
+        if not use_srb_kernel:
+            return out
+
+        bh, hh, ww, _ = xin.shape
+        pe = positional_encoding_2d(64, hh, ww)
+        pe = jnp.asarray(pe.reshape(64, hh * ww).T, dtype=xin.dtype)
+        conv_params = {k: self.get_variable("params", k)
+                       for k in ("conv1", "bn1", "conv2", "bn2")}
+        bn_stats = {k: self.get_variable("batch_stats", k)
+                    for k in ("bn1", "bn2")}
+        enh_params = self.get_variable("params", "enhancer")
+        return fused_srb(xin, conv_params, bn_stats, enh_params, pe, heads=4)
 
 
 class TBSRN(nn.Module):
@@ -143,6 +177,10 @@ class TBSRN(nn.Module):
     # inference (deterministic), TPU backend, and supported (L, d) inside
     # FeatureEnhancer — training and CPU runs are unaffected. On-chip A/B
     # (BENCH_SWEEP_r03.json): 6955 -> 8195 img/s at batch 512 (+18%).
+    fused_srb: Any = False  # whole-SRB Pallas kernel (ops/fused_srb.py):
+    # subsumes fused_enhancer for the residual blocks when active (same
+    # inference/TPU/geometry gating). When it wins the enhancer flag is
+    # irrelevant for the SRBs.
     wide_out_block: int = 32  # lane-packed RGB head (ops/wide_conv.py):
     # the 9x9 64->3 out conv re-blocked so output tiles fill 96/128 lanes
     # instead of 3/128. 0 disables; non-divisible widths fall back.
@@ -178,6 +216,7 @@ class TBSRN(nn.Module):
         for i in range(self.srb_nums):
             h = block_cls(feats, dtype=self.dtype,
                           fuse_enhancer=self.fused_enhancer,
+                          fuse_srb=self.fused_srb,
                           name=f"srb{i}")(h, train)
         h = ConvBN(feats, dtype=self.dtype, name="trunk_tail")(h, train)
 

@@ -18,7 +18,11 @@ qkv contribution (pe @ W_bot + b) is hoisted out of the grid entirely —
 the kernel contracts only the token half of Wqkv (half the qkv FLOPs)
 and the (B, L, 128) tokens-with-PE concat never touches HBM. fp32
 accumulation everywhere; activations round to the input dtype at the
-same points the unfused module path does.
+same points the unfused module path does, with ONE intentional
+exception: the softmax scale (and exp2's log2(e)) is folded into q
+before the cast to the compute dtype, so q's bf16 rounding point
+differs from the unfused path (which scales the fp32 scores) — parity
+is exact in fp32 and within the loose bf16 tolerances otherwise.
 
 Inference-only (no dropout, no custom VJP): the training path keeps the
 composable kernels whose in-kernel-dropout backward already exists.
@@ -63,17 +67,30 @@ def _dense(x, w_ref, b_ref, dtype):
     return y + b_ref[...].astype(jnp.float32)
 
 
-def _enhancer_kernel(t_ref, pe_ref, peqkv_ref, wtop_ref, wout_ref, bout_ref,
-                     s1_ref, b1_ref, w1_ref, bf1_ref, w2_ref, bf2_ref,
-                     s2_ref, b2_ref, wp_ref, bp_ref, o_ref, attn_ref, *,
-                     heads: int, eps: float):
-    dt = t_ref.dtype
-    t = t_ref[0]                                   # (L, C) raw tokens
+def enhancer_body(t, pe_ref, peqkv_ref, wtop_ref, wout_ref, bout_ref,
+                  s1_ref, b1_ref, w1_ref, bf1_ref, w2_ref, bf2_ref,
+                  s2_ref, b2_ref, wp_ref, bp_ref, attn_ref, *,
+                  heads: int, eps: float):
+    """The enhancer math on one image's (L, C) tokens `t` (value, not ref).
+
+    Shared between the standalone fused-enhancer kernel and the whole-SRB
+    kernel (ops/fused_srb.py). Returns the (L, C_out) projection output
+    at the compute dtype; `attn_ref` is a (L, D) VMEM scratch."""
+    dt = t.dtype
     pe = pe_ref[...]                               # (L, D-C) constant PE
     x = jnp.concatenate([t, pe], axis=-1)          # (L, D) tokens-with-PE
     d = x.shape[-1]
     dh = d // heads
-    scale = 1.0 / math.sqrt(dh)
+    # softmax scale folded into q once (a (L, D) pass instead of a (L, L)
+    # pass per head on the fp32 scores) together with log2(e): the kernel
+    # exponentiates with exp2, the VPU-native op, so exp(s - m) becomes
+    # exp2(s' - m') with s' = s*log2(e) pre-scaled by the matmul.
+    # NOTE one intentional rounding-point deviation from the unfused
+    # module path: q is scaled BEFORE the cast to the compute dtype
+    # (the unfused path scales the fp32 scores), so q's bf16 rounding
+    # differs — parity in bf16 holds within the loose kernel tolerances
+    # (tests/test_fused_enhancer.py), exactly in fp32.
+    scale = math.log2(math.e) / math.sqrt(dh)
 
     # qkv = x @ Wqkv + b, split as tokens @ W_top + (pe @ W_bot + b): the
     # PE term is constant across the batch and arrives precomputed
@@ -82,10 +99,9 @@ def _enhancer_kernel(t_ref, pe_ref, peqkv_ref, wtop_ref, wout_ref, bout_ref,
     qkv32 = jax.lax.dot_general(
         t, wtop_ref[...].astype(dt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + peqkv_ref[...]
-    # fold the softmax scale into q once — a (L, D) pass instead of a
-    # (L, L) pass per head on the fp32 scores
     qkv = jnp.concatenate(
         [qkv32[:, :d] * scale, qkv32[:, d:]], axis=-1).astype(dt)
+    one_col = jnp.ones((x.shape[0], 1), dt)
     for h in range(heads):
         q = qkv[:, h * dh:(h + 1) * dh]
         k = qkv[:, d + h * dh:d + (h + 1) * dh]
@@ -94,12 +110,17 @@ def _enhancer_kernel(t_ref, pe_ref, peqkv_ref, wtop_ref, wout_ref, bout_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(dt), v, (((1,), (0,)), ((), ())),
+        p = jnp.exp2(s - m).astype(dt)
+        # The softmax denominator rides the PV matmul: a ones column
+        # appended to v makes the MXU emit the row sums for free (the
+        # (L, dh) output pads to 128 lanes either way), dropping one
+        # full (L, L) fp32 lane-reduce pass per head.
+        vext = jnp.concatenate([v, one_col], axis=-1)
+        oext = jax.lax.dot_general(
+            p, vext, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        attn_ref[:, h * dh:(h + 1) * dh] = (o / denom).astype(dt)
+        denom = oext[:, dh:dh + 1]
+        attn_ref[:, h * dh:(h + 1) * dh] = (oext[:, :dh] / denom).astype(dt)
 
     out = _dense(attn_ref[...], wout_ref, bout_ref, dt).astype(dt)
     x1 = _ln(x.astype(jnp.float32) + out.astype(jnp.float32),
@@ -110,7 +131,42 @@ def _enhancer_kernel(t_ref, pe_ref, peqkv_ref, wtop_ref, wout_ref, bout_ref,
     x2 = _ln(x1.astype(jnp.float32) + y2.astype(jnp.float32),
              s2_ref, b2_ref, eps).astype(dt)       # LN2(x1 + ffn)
 
-    o_ref[0] = _dense(x2, wp_ref, bp_ref, dt).astype(o_ref.dtype)
+    return _dense(x2, wp_ref, bp_ref, dt)
+
+
+def _enhancer_kernel(t_ref, pe_ref, peqkv_ref, wtop_ref, wout_ref, bout_ref,
+                     s1_ref, b1_ref, w1_ref, bf1_ref, w2_ref, bf2_ref,
+                     s2_ref, b2_ref, wp_ref, bp_ref, o_ref, attn_ref, *,
+                     heads: int, eps: float):
+    out = enhancer_body(
+        t_ref[0], pe_ref, peqkv_ref, wtop_ref, wout_ref, bout_ref,
+        s1_ref, b1_ref, w1_ref, bf1_ref, w2_ref, bf2_ref,
+        s2_ref, b2_ref, wp_ref, bp_ref, attn_ref, heads=heads, eps=eps)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def enhancer_operands(params: dict, pe: jax.Array, c: int, dt) -> list:
+    """Assemble the shared (grid-constant) kernel operands from the flax
+    FeatureEnhancer param subtree: [pe, peqkv, *weights]. The PE's qkv
+    contribution (pe @ W_bot + b, constant across the batch) is computed
+    here once; 1-D biases/scales become (1, n) rows (lane layout,
+    broadcast in-kernel)."""
+    wqkv = params["mha"]["qkv"]["kernel"]
+    peqkv = jax.lax.dot_general(
+        pe.astype(dt), wqkv[c:].astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32
+    ) + params["mha"]["qkv"]["bias"].astype(jnp.float32)
+    weights = [
+        wqkv[:c],
+        params["mha"]["out"]["kernel"], params["mha"]["out"]["bias"],
+        params["ln1"]["scale"], params["ln1"]["bias"],
+        params["pff_w1"]["kernel"], params["pff_w1"]["bias"],
+        params["pff_w2"]["kernel"], params["pff_w2"]["bias"],
+        params["ln2"]["scale"], params["ln2"]["bias"],
+        params["proj"]["kernel"], params["proj"]["bias"],
+    ]
+    weights = [w if w.ndim == 2 else w.reshape(1, -1) for w in weights]
+    return [pe, peqkv] + weights
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "eps"))
@@ -128,23 +184,7 @@ def fused_enhancer(tokens: jax.Array, pe: jax.Array, params: dict,
     d = c + pe.shape[-1]
     c_out = params["proj"]["kernel"].shape[-1]
     dt = tokens.dtype
-    wqkv = params["mha"]["qkv"]["kernel"]
-    peqkv = jax.lax.dot_general(
-        pe.astype(dt), wqkv[c:].astype(dt), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32
-    ) + params["mha"]["qkv"]["bias"].astype(jnp.float32)
-    weights = [
-        wqkv[:c],
-        params["mha"]["out"]["kernel"], params["mha"]["out"]["bias"],
-        params["ln1"]["scale"], params["ln1"]["bias"],
-        params["pff_w1"]["kernel"], params["pff_w1"]["bias"],
-        params["pff_w2"]["kernel"], params["pff_w2"]["bias"],
-        params["ln2"]["scale"], params["ln2"]["bias"],
-        params["proj"]["kernel"], params["proj"]["bias"],
-    ]
-    # 1-D biases/scales become (1, n) rows (lane layout; broadcast in-kernel)
-    weights = [w if w.ndim == 2 else w.reshape(1, -1) for w in weights]
-    shared_in = [pe, peqkv] + weights
+    shared_in = enhancer_operands(params, pe, c, dt)
     operands = (tokens, *shared_in)
     shared = [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in shared_in]
     dh = d // heads
