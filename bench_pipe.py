@@ -1,0 +1,225 @@
+"""End-to-end pipeline bench: host LMDB -> device -> SR (-> strings).
+
+Round-3 verdict: every bench ran on synthetic device-resident inputs; the
+reference's real hot loop starts at LMDB txn.get -> PIL decode -> bicubic
+resize with 8 DataLoader workers (scene-text-telescope/interfaces/
+base.py:91-110, dataset/dataset.py:231-270). This bench measures that
+path here, on a synthetic ON-DISK TextZoom-geometry LMDB (JPEG-encoded
+paired HR/LR), and composes the serving path to strings:
+
+  host_loader_w{N} : collated batches from data/workers.py, N processes
+                     (LMDB batched native read -> PIL decode -> resize ->
+                     collate), img/s. NOTE this host has ONE CPU core —
+                     workers>0 only add IPC; the rows quantify that.
+  sr_fed           : LMDB -> prefetch(device_put) -> TBSRN forward,
+                     end-to-end img/s (the north-star fed pipeline).
+  sr_device        : device-only TBSRN img/s at the same batch (the
+                     bench.py methodology), for the host:device ratio.
+  pixels_to_strings: the ONE-JIT SR -> CRNN -> greedy-CTC path
+                     (serving.PixelsToStrings) on device-resident input,
+                     img/s + added ms vs sr_device (reference composes
+                     these as separate calls: super_resolution.py:241-329).
+
+Prints ONE JSON object with all rows.
+"""
+
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench_util import require_device
+
+BATCH = 512
+N_SAMPLES = 4096
+DB_PATH = "/tmp/bench_pipe_textzoom_%d" % N_SAMPLES
+ITERS_DEV = 20
+
+
+def build_db():
+    from fudanocr_tpu.data.lmdb_dataset import create_dataset
+    from fudanocr_tpu.data.synthetic import SyntheticTextZoom
+
+    if os.path.exists(os.path.join(DB_PATH, "data.mdb")):
+        return
+    syn = SyntheticTextZoom(num_samples=N_SAMPLES, hr_size=(128, 32))
+    create_dataset(DB_PATH, (syn[i] for i in range(N_SAMPLES)))
+
+
+def dataset_factory():
+    from fudanocr_tpu.data.lmdb_dataset import PairedLMDBDataset
+
+    return PairedLMDBDataset(DB_PATH, voc_type="lower",
+                             batch_hw=(32, 128), scale=2)
+
+
+def bench_host_loader(num_workers: int) -> float:
+    from fudanocr_tpu.data.workers import WorkerBatches
+
+    loader = WorkerBatches(dataset_factory, BATCH, num_workers=num_workers,
+                           epochs=2)
+    it = iter(loader)
+    next(it)  # warm (worker spawn, mmap, first decode run)
+    t0 = time.perf_counter()
+    n = 0
+    for hr, lr, labels in it:
+        n += hr.shape[0]
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def make_model():
+    from fudanocr_tpu.models.sr import TBSRN
+
+    model = TBSRN(scale_factor=2, width=128, height=32, stn=True,
+                  srb_nums=5, hidden_units=32, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((BATCH, 16, 64, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x0)
+    return model, variables
+
+
+def bench_sr_fed(model, variables) -> float:
+    """LMDB -> workers -> prefetch-to-device -> SR forward, end to end."""
+    from fudanocr_tpu.data.prefetch import prefetch
+    from fudanocr_tpu.data.workers import WorkerBatches
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x)[0, 0, 0, 0]
+                  .astype(jnp.float32))
+    loader = WorkerBatches(dataset_factory, BATCH, num_workers=0, epochs=2)
+    stream = prefetch(iter(loader),
+                      transform=lambda b: jnp.asarray(b[1], jnp.float32))
+    first = next(stream)
+    float(fwd(variables, first))  # compile outside the timed region
+    t0 = time.perf_counter()
+    n = 0
+    last = None
+    for lr_imgs in stream:
+        last = fwd(variables, lr_imgs)
+        n += BATCH
+    float(last)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def bench_sr_device(model, variables) -> float:
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, 16, 64, 3),
+                            jnp.float32)
+
+    def chain(variables, x):
+        def body(x, _):
+            y = model.apply(variables, x)
+            return y[:, ::2, ::2, :].astype(jnp.float32), None
+        x, _ = jax.lax.scan(body, x, None, length=ITERS_DEV)
+        return x.mean()
+
+    compiled = jax.jit(chain).lower(variables, x0).compile()
+    float(compiled(variables, x0))
+    t0 = time.perf_counter()
+    float(compiled(variables, x0))
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS_DEV / dt
+
+
+def bench_pixels_to_strings(model, variables):
+    from fudanocr_tpu.eval.ctc import CTCLabelConverter
+    from fudanocr_tpu.models.rec.crnn import CRNN
+    from fudanocr_tpu.serving import PixelsToStrings
+
+    crnn = CRNN(num_classes=37, dtype=jnp.bfloat16)
+    crnn_vars = jax.jit(crnn.init)(jax.random.PRNGKey(3),
+                                   jnp.zeros((1, 32, 100, 3)))
+    conv = CTCLabelConverter("0123456789abcdefghijklmnopqrstuvwxyz")
+    pipe = PixelsToStrings(lambda x: model.apply(variables, x),
+                           lambda x: crnn.apply(crnn_vars, x), conv)
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, 16, 64, 3),
+                            jnp.float32)
+    # chain ITERS_DEV composed forwards inside one jit (same methodology
+    # as bench.py: the tunnel makes per-dispatch timing unreliable)
+    from fudanocr_tpu.eval.ctc import ctc_greedy_decode
+
+    def chain(variables, crnn_vars, x):
+        def body(x, _):
+            sr = model.apply(variables, x)
+            rec_in = jax.image.resize(sr[..., :3].astype(jnp.float32),
+                                      (BATCH, 32, 100, 3), "bicubic")
+            ids = ctc_greedy_decode(crnn.apply(crnn_vars, rec_in))
+            return sr[:, ::2, ::2, :].astype(jnp.float32), ids.max()
+        _, idm = jax.lax.scan(body, x, None, length=ITERS_DEV)
+        return idm
+
+    compiled = jax.jit(chain).lower(variables, crnn_vars, x0).compile()
+    int(compiled(variables, crnn_vars, x0)[-1])
+    t0 = time.perf_counter()
+    int(compiled(variables, crnn_vars, x0)[-1])
+    dt = time.perf_counter() - t0
+    fps = BATCH * ITERS_DEV / dt
+    # string-join host cost, measured separately (it overlaps device time
+    # in a real pipeline): decode BATCH rows of argmax ids
+    ids = np.asarray(pipe.ids_fn(x0))
+    t0 = time.perf_counter()
+    texts = pipe.decode_ids(ids)
+    host_ms = (time.perf_counter() - t0) * 1e3
+    assert len(texts) == BATCH
+    return fps, dt / ITERS_DEV * 1e3, host_ms
+
+
+def bench_h2d() -> float:
+    """Effective host->device MB/s for one LR batch, measured as jitted
+    sum roundtrips over FRESH host arrays (the device must ingest the
+    bytes to reduce them; includes one scalar-fetch latency per batch).
+    On this rig the TPU sits behind a network tunnel, so this is the fed
+    path's second bottleneck after the 1-core host; a real TPU host has
+    neither."""
+    rng = np.random.default_rng(0)
+    xs = [rng.random((BATCH, 16, 64, 3), np.float32) for _ in range(4)]
+    mb = xs[0].nbytes / 1e6
+    fn = jax.jit(jnp.sum)
+    float(fn(xs[0]))  # compile + warm
+    t0 = time.perf_counter()
+    for x in xs:
+        float(fn(x))
+    dt = time.perf_counter() - t0
+    return 4 * mb / dt
+
+
+def main():
+    require_device()
+    build_db()
+    # warm the page cache so row order doesn't skew the comparison
+    with open(os.path.join(DB_PATH, "data.mdb"), "rb") as f:
+        while f.read(1 << 22):
+            pass
+
+    rows = {}
+    for w in (0, 2, 4):
+        rows[f"host_loader_w{w}_img_s"] = round(bench_host_loader(w), 1)
+    rows["h2d_MB_s"] = round(bench_h2d(), 1)
+
+    model, variables = make_model()
+    sr_dev = bench_sr_device(model, variables)
+    sr_fed = bench_sr_fed(model, variables)
+    p2s_fps, p2s_ms, join_ms = bench_pixels_to_strings(model, variables)
+
+    rows.update({
+        "sr_device_img_s": round(sr_dev, 1),
+        "sr_fed_img_s": round(sr_fed, 1),
+        "host_to_device_ratio": round(sr_fed / sr_dev, 4),
+        "pixels_to_strings_img_s": round(p2s_fps, 1),
+        "pixels_to_strings_ms_per_batch": round(p2s_ms, 2),
+        "sr_only_ms_per_batch": round(BATCH * ITERS_DEV / sr_dev
+                                      / ITERS_DEV * 1e3, 2),
+        "added_ms_vs_sr_only": round(p2s_ms - BATCH / sr_dev * 1e3, 2),
+        "string_join_host_ms_per_batch": round(join_ms, 2),
+        "batch": BATCH,
+        "n_samples_on_disk": N_SAMPLES,
+        "host_cpus": os.cpu_count(),
+    })
+    print(json.dumps({"metric": "lmdb_to_strings_pipeline", **rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,14 +46,23 @@ class _LMDBBase:
             index -= count
         raise IndexError(index)
 
-    def batches(self, batch_size: int, **collate_kw):
+    def fetch_items(self, indices: Sequence[int]) -> List:
+        """Items for a batch of indices. Subclasses with a batched native
+        read path override this; the default is per-item __getitem__."""
+        return [self[i] for i in indices]
+
+    def collate(self, items, **collate_kw):
         from fudanocr_tpu.data.collate import sr_collate
         kw = dict(img_h=self.batch_hw[0], img_w=self.batch_hw[1],
                   down_sample_scale=self.scale)
         kw.update(collate_kw)
+        return sr_collate(items, **kw)
+
+    def batches(self, batch_size: int, **collate_kw):
         for start in range(0, len(self) - batch_size + 1, batch_size):
-            yield sr_collate([self[i] for i in
-                              range(start, start + batch_size)], **kw)
+            yield self.collate(
+                self.fetch_items(range(start, start + batch_size)),
+                **collate_kw)
 
 
 class LMDBDataset(_LMDBBase):
@@ -79,6 +88,30 @@ class PairedLMDBDataset(_LMDBBase):
         hr = _decode(reader.get(b"image_hr-%09d" % i))
         lr = _decode(reader.get(b"image_lr-%09d" % i))
         return hr, lr, str_filt(label, self.voc_type)
+
+    def fetch_items(self, indices: Sequence[int]) -> List:
+        """Batched read: the whole batch's hr/lr/label lookups go through
+        ONE native get_many call per reader (lmdb_get_ptrs), replacing
+        3*B FFI crossings with at most one per reader."""
+        located = [self._locate(i) for i in indices]
+        by_reader: dict = {}
+        for pos, (reader, i) in enumerate(located):
+            by_reader.setdefault(id(reader), (reader, []))[1].append((pos, i))
+        vals: List = [None] * (3 * len(indices))
+        for reader, entries in by_reader.values():
+            keys = []
+            for _, i in entries:
+                keys += [b"image_hr-%09d" % i, b"image_lr-%09d" % i,
+                         b"label-%09d" % i]
+            got = reader.get_many(keys)
+            for j, (pos, _) in enumerate(entries):
+                vals[3 * pos:3 * pos + 3] = got[3 * j:3 * j + 3]
+        out = []
+        for pos in range(len(indices)):
+            hr_buf, lr_buf, label = vals[3 * pos:3 * pos + 3]
+            out.append((_decode(hr_buf), _decode(lr_buf),
+                        str_filt((label or b"").decode(), self.voc_type)))
+        return out
 
 
 class MixLMDBDataset(_LMDBBase):

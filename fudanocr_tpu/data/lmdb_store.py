@@ -76,6 +76,13 @@ def _load_native():
     lib.lmdb_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                              ctypes.c_uint32,
                              ctypes.POINTER(ctypes.c_uint64)]
+    if hasattr(lib, "lmdb_get_ptrs"):
+        lib.lmdb_get_ptrs.restype = ctypes.c_uint32
+        lib.lmdb_get_ptrs.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_uint64)]
     _NATIVE = lib
     return lib
 
@@ -165,6 +172,29 @@ class LMDBReader:
                 return None
             return ctypes.string_at(ptr, vlen.value)
         return self._get_py(key)
+
+    def get_many(self, keys: List[bytes]) -> List[Optional[bytes]]:
+        """Batched lookup: ONE native FFI crossing walks the B+tree for
+        every key (native/lmdb_reader.cpp::lmdb_get_ptrs); Python then
+        copies each value out of the mmap. This is the data hot path the
+        reference serves through liblmdb cursors inside DataLoader
+        workers (dataset/dataset.py:60-66). Falls back to per-key gets."""
+        if self._native is None or not hasattr(self._native,
+                                               "lmdb_get_ptrs"):
+            return [self.get(k) for k in keys]
+        import ctypes
+
+        n = len(keys)
+        if n == 0:
+            return []
+        blob = b"".join(keys)
+        lens = (ctypes.c_uint32 * n)(*[len(k) for k in keys])
+        ptrs = (ctypes.c_void_p * n)()
+        vlens = (ctypes.c_uint64 * n)()
+        self._native.lmdb_get_ptrs(self._native_env, blob, lens, n,
+                                   ptrs, vlens)
+        return [ctypes.string_at(ptrs[i], vlens[i]) if ptrs[i] else None
+                for i in range(n)]
 
     def _get_py(self, key: bytes) -> Optional[bytes]:
         root = self.main["root"]

@@ -38,11 +38,63 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Callable, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class PixelsToStrings:
+    """The composed OCR path in ONE jit: LR pixels -> SR -> bicubic
+    32x100 -> CRNN -> greedy CTC argmax, all device-resident; the host
+    does only the final id->string join.
+
+    The reference runs these as separate model calls with host hops per
+    batch (scene-text-telescope/interfaces/super_resolution.py:241-329:
+    SR forward, then `get_crnn_pred` :143 re-dispatches the recognizer
+    and decodes via utils_crnn.py:10). Here the whole pixels->ids program
+    is one XLA computation, so intermediate SR images and logits never
+    leave HBM and the only transfer is the [B, T] int32 argmax ids.
+
+    Usage:
+        pipe = PixelsToStrings(lambda x: sr_model.apply(sr_vars, x),
+                               lambda x: crnn.apply(crnn_vars, x),
+                               CTCLabelConverter(alphabet))
+        texts = pipe(lr_batch)              # list[str], len B
+        texts, sr = pipe(lr_batch, return_sr=True)
+    `ids_fn` (batch -> [B, T] ids) is exposed for InferenceServer use:
+        srv = InferenceServer(pipe.ids_fn, buckets=(1, 8, 32))
+    """
+
+    def __init__(self, sr_apply: Callable, rec_apply: Callable, converter,
+                 rec_hw: Tuple[int, int] = (32, 100)):
+        from fudanocr_tpu.eval.ctc import ctc_greedy_decode
+
+        self.converter = converter
+        h, w = rec_hw
+
+        def ids_and_sr(lr):
+            sr = sr_apply(lr)
+            # the reference bicubics SR output to 32x100 RGB before CRNN
+            # (interfaces/base.py:327-333 parse_crnn_data)
+            rec_in = jax.image.resize(
+                sr[..., :3].astype(jnp.float32),
+                (lr.shape[0], h, w, 3), "bicubic")
+            ids = ctc_greedy_decode(rec_apply(rec_in))
+            return ids, sr
+
+        self._ids_and_sr = jax.jit(ids_and_sr)
+        self.ids_fn = jax.jit(lambda lr: ids_and_sr(lr)[0])
+
+    def __call__(self, lr_batch, return_sr: bool = False):
+        ids, sr = self._ids_and_sr(jnp.asarray(lr_batch))
+        texts = self.converter.decode_ids(np.asarray(ids))
+        return (texts, sr) if return_sr else texts
+
+    def decode_ids(self, ids) -> List[str]:
+        """Host join for ids produced by `ids_fn` (e.g. via a server)."""
+        return self.converter.decode_ids(np.asarray(ids))
 
 
 class InferenceServer:

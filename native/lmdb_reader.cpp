@@ -203,4 +203,25 @@ uint32_t lmdb_get_batch(void* env, const uint8_t* keys,
   return found;
 }
 
+// Batched zero-copy lookup: one FFI crossing for n_keys B+tree walks.
+// Fills out_ptrs[i] with the absolute address of value i inside the map
+// (0 if missing) and out_lens[i] with its length. The caller copies (or
+// decodes in place) from those addresses; the mmap stays valid until
+// lmdb_close. Keys arrive concatenated with per-key lengths.
+uint32_t lmdb_get_ptrs(void* env, const uint8_t* keys,
+                       const uint32_t* key_lens, uint32_t n_keys,
+                       const uint8_t** out_ptrs, uint64_t* out_lens) {
+  uint32_t found = 0;
+  const uint8_t* kp = keys;
+  for (uint32_t i = 0; i < n_keys; ++i) {
+    uint64_t vlen = 0;
+    const uint8_t* v = lmdb_get(env, kp, key_lens[i], &vlen);
+    kp += key_lens[i];
+    out_ptrs[i] = v;
+    out_lens[i] = v ? vlen : 0;
+    if (v) ++found;
+  }
+  return found;
+}
+
 }  // extern "C"

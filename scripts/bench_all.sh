@@ -9,3 +9,4 @@ python bench.py
 python bench_train.py
 python bench_ctr.py
 python bench_seg.py
+python bench_pipe.py

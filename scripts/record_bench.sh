@@ -10,6 +10,7 @@ set -x
 python bench_train.py > "BENCH_TRAIN_r$N.json"
 python bench_ctr.py   > "BENCH_CTR_r$N.json"
 python bench_seg.py   > "BENCH_SEG_r$N.json"
+python bench_pipe.py  > "BENCH_PIPE_r$N.json"
 # no pipe: POSIX sh has no pipefail, and a pipe would mask bench.py's rc
 python bench.py       > "/tmp/bench_headline_r$N.json"
 set +x

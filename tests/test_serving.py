@@ -116,3 +116,42 @@ def test_warmup_and_stats():
     assert s["requests"] == 5
     assert 0.0 <= s["p50_ms"] <= s["p99_ms"] <= s["max_ms"]
     assert sum(s["batches"]) >= 5
+
+
+def test_pixels_to_strings_matches_separate_calls():
+    """The one-jit composed path (SR -> resize -> CRNN -> CTC) must decode
+    exactly the same strings as running each stage as its own call
+    (reference flow: super_resolution.py:241-329 + get_crnn_pred :143)."""
+    import jax
+    from fudanocr_tpu.eval.ctc import CTCLabelConverter, ctc_greedy_decode
+    from fudanocr_tpu.models.rec.crnn import CRNN
+    from fudanocr_tpu.models.sr import TBSRN
+    from fudanocr_tpu.serving import PixelsToStrings
+
+    sr_model = TBSRN(scale_factor=2, width=32, height=16, stn=False,
+                     srb_nums=1, hidden_units=4)
+    crnn = CRNN(num_classes=37, hidden=32)
+    lr = jax.random.uniform(jax.random.PRNGKey(0), (3, 8, 16, 3))
+    sr_vars = sr_model.init(jax.random.PRNGKey(1), lr)
+    crnn_vars = crnn.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 100, 3)))
+
+    conv = CTCLabelConverter("0123456789abcdefghijklmnopqrstuvwxyz")
+    pipe = PixelsToStrings(lambda x: sr_model.apply(sr_vars, x),
+                           lambda x: crnn.apply(crnn_vars, x), conv)
+    got, sr_out = pipe(lr, return_sr=True)
+
+    # separate calls, stage by stage
+    sr = sr_model.apply(sr_vars, lr)
+    rec_in = jax.image.resize(sr[..., :3].astype(jnp.float32),
+                              (3, 32, 100, 3), "bicubic")
+    ids = ctc_greedy_decode(crnn.apply(crnn_vars, rec_in))
+    want = conv.decode_ids(np.asarray(ids))
+
+    assert got == want
+    np.testing.assert_allclose(np.asarray(sr_out), np.asarray(sr), atol=1e-6)
+    # ids_fn serves through the batching server too
+    srv = InferenceServer(pipe.ids_fn, buckets=(1, 4), max_wait_ms=2.0)
+    futs = [srv.submit(np.asarray(lr[i])) for i in range(3)]
+    served = [pipe.decode_ids(f.result(timeout=60)[None])[0] for f in futs]
+    srv.close()
+    assert served == want
