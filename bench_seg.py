@@ -125,54 +125,67 @@ def main():
                                      dtype=jnp.bfloat16),
         decode_head=SegformerHead(num_classes=2, channels=256,
                                   dtype=jnp.bfloat16))
-    DET_BATCH = 1          # reference det configs are 8x1 (batch 1/GPU)
     DET_ITERS = 4
-    dimg = jax.random.uniform(jax.random.PRNGKey(4),
-                              (DET_BATCH, 1024, 1024, 3), jnp.float32)
-    dgt = jnp.zeros((DET_BATCH, 1024, 1024), jnp.int32)
-    ddet = jnp.zeros((DET_BATCH, 1024, 1024), jnp.int32)
-    dvars = jax.jit(det_model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(5), dimg, train=True)
-    dmesh = make_mesh_for_batch(DET_BATCH)
-    dtx = make_seg_optimizer(dvars["params"])
-    dstate = TrainState.create(dvars["params"],
-                               dvars.get("batch_stats", {}), dtx)
-    det_step = make_seg_train_step(det_model, dmesh,
-                                   {"ce": 1.0, "lovasz": 1.0},
-                                   det_loss_ratio=0.1, wrap_jit=False)
-    dbatch = {"img": dimg, "gt_seg": dgt, "gt_det": ddet}
 
-    def det_chain(state, batch, rng):
-        def body(carry, _):
-            st, r = carry
-            r, sub = jax.random.split(r)
-            st, m = det_step(st, batch, sub)
-            return (st, r), m["loss"]
-        (st, _), losses = jax.lax.scan(body, (state, rng), None,
-                                       length=DET_ITERS)
-        return st, losses
+    def run_det(det_batch):
+        dimg = jax.random.uniform(jax.random.PRNGKey(4),
+                                  (det_batch, 1024, 1024, 3), jnp.float32)
+        dgt = jnp.zeros((det_batch, 1024, 1024), jnp.int32)
+        ddet = jnp.zeros((det_batch, 1024, 1024), jnp.int32)
+        dvars = jax.jit(det_model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(5), dimg, train=True)
+        dmesh = make_mesh_for_batch(det_batch)
+        dtx = make_seg_optimizer(dvars["params"])
+        dstate = TrainState.create(dvars["params"],
+                                   dvars.get("batch_stats", {}), dtx)
+        det_step = make_seg_train_step(det_model, dmesh,
+                                       {"ce": 1.0, "lovasz": 1.0},
+                                       det_loss_ratio=0.1, wrap_jit=False)
+        dbatch = {"img": dimg, "gt_seg": dgt, "gt_det": ddet}
 
-    dchained = jax.jit(det_chain, donate_argnums=(0,))
-    dcompiled = dchained.lower(dstate, dbatch,
-                               jax.random.PRNGKey(6)).compile()
-    det_flops = analytic_flops(det_step, dstate, dbatch,
-                               jax.random.PRNGKey(9))["flops"]
-    dstate, dlosses = dcompiled(dstate, dbatch, jax.random.PRNGKey(6))
-    float(dlosses[-1])  # warm + completion fence
-    t0 = time.perf_counter()
-    dstate, dlosses = dcompiled(dstate, dbatch, jax.random.PRNGKey(6))
-    float(dlosses[-1])
-    dt = (time.perf_counter() - t0) / DET_ITERS
-    print(json.dumps({
-        "metric": "cascade_mit_b0_det_guided_1024_train",
-        "value": round(DET_BATCH / dt, 2),
-        "unit": "images/sec/chip",
-        "ms_per_step": round(dt * 1e3, 1),
-        "mfu": round(mfu_of(det_flops, dt), 4),
-        "gflops_per_step": round(det_flops / 1e9, 1),
-        "vs_baseline": None,
-    }))
-    del dstate, dcompiled
+        def det_chain(state, batch, rng):
+            def body(carry, _):
+                st, r = carry
+                r, sub = jax.random.split(r)
+                st, m = det_step(st, batch, sub)
+                return (st, r), m["loss"]
+            (st, _), losses = jax.lax.scan(body, (state, rng), None,
+                                           length=DET_ITERS)
+            return st, losses
+
+        dchained = jax.jit(det_chain, donate_argnums=(0,))
+        dcompiled = dchained.lower(dstate, dbatch,
+                                   jax.random.PRNGKey(6)).compile()
+        det_flops = analytic_flops(det_step, dstate, dbatch,
+                                   jax.random.PRNGKey(9))["flops"]
+        dstate, dlosses = dcompiled(dstate, dbatch, jax.random.PRNGKey(6))
+        float(dlosses[-1])  # warm + completion fence
+        t0 = time.perf_counter()
+        dstate, dlosses = dcompiled(dstate, dbatch, jax.random.PRNGKey(6))
+        float(dlosses[-1])
+        dt = (time.perf_counter() - t0) / DET_ITERS
+        print(json.dumps({
+            "metric": "cascade_mit_b0_det_guided_1024_train",
+            "batch": det_batch,
+            "value": round(det_batch / dt, 2),
+            "unit": "images/sec/chip",
+            "ms_per_step": round(dt * 1e3, 1),
+            "mfu": round(mfu_of(det_flops, dt), 4),
+            "gflops_per_step": round(det_flops / 1e9, 1),
+            "vs_baseline": None,
+        }), flush=True)
+
+    # reference det configs are 8x1 (batch 1/GPU); per-chip batching up is
+    # how one chip matches the 8-GPU recipe (round-3 verdict weak #3):
+    # sweep until HBM runs out
+    for det_batch in (1, 2, 4, 8):
+        try:
+            run_det(det_batch)
+        except Exception as e:  # OOM at some batch: report and stop
+            print(json.dumps({
+                "metric": "cascade_mit_b0_det_guided_1024_train",
+                "batch": det_batch, "error": type(e).__name__}), flush=True)
+            break
 
     # ---- slide inference, crop 1024^2 stride 768^2, canvas 1024x2048 ----
     ivars = {"params": state.params, "batch_stats": state.batch_stats}

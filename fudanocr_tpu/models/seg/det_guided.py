@@ -176,16 +176,28 @@ def _host_callbacks_supported() -> bool:
     return "axon" not in ver
 
 
-def instance_labels(text_map: jax.Array) -> jax.Array:
+def instance_labels(text_map: jax.Array,
+                    impl: Optional[str] = None) -> jax.Array:
     """(B, H, W) float {0,1} -> (B, H, W) instance-id map.
 
-    Host OpenCV contour filling (the reference's exact algorithm,
-    cascade_mit.py:4943-4951, and the oracle the port-parity tests
-    compare against) when the backend supports callbacks; otherwise the
-    device-side labeling above. Under SPMD the callback costs a gather
-    onto device 0 (the partitioner warns) but stays correct; the axon
-    tunnel rejects pure_callback outright and takes the device path."""
-    if not _host_callbacks_supported():
+    `impl` selects 'host' (OpenCV contour filling — the reference's exact
+    algorithm, cascade_mit.py:4943-4951, and the oracle the port-parity
+    tests compare against) or 'device' (the pure-XLA CCL above); None
+    auto-selects MESH-AWARE: host cv2 only when callbacks are supported
+    AND exactly one device is visible. Under any multi-device program the
+    callback is compiled as a {maximal device=0} computation, so SPMD
+    gathers the full tensor to device 0 and re-partitions afterwards —
+    two 'Involuntary full rematerialization' round trips per step
+    (observed in MULTICHIP_r03.json) that serialize all chips behind one.
+    The device CCL shards cleanly (everything is elementwise/scan/
+    batch-local); it differs from cv2 only on hole pixels, and every
+    consumer (the region attention masks) depends on label EQUALITY only.
+    tests/test_det_guided.py asserts the two paths agree per-partition on
+    an 8-device mesh."""
+    if impl is None:
+        impl = ("host" if _host_callbacks_supported()
+                and len(jax.devices()) == 1 else "device")
+    if impl == "device":
         return instance_labels_device(text_map)
     return jax.pure_callback(
         _instance_labels_host,
@@ -278,6 +290,9 @@ class CascadeMiTDetGuided(nn.Module):
     mlp_ratio: int = 4
     drop_path_rate: float = 0.1
     dtype: Optional[Dtype] = None
+    instance_impl: Optional[str] = None  # 'host' (cv2 oracle) | 'device'
+    # | None = mesh-aware auto (see instance_labels); port-parity tests
+    # pin 'host' because the torch fixtures bake cv2's hole filling in.
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -327,7 +342,7 @@ class CascadeMiTDetGuided(nn.Module):
                 det_gt.astype(jnp.float32), (x1.shape[1], x1.shape[2]))
         else:
             text_map = jax.lax.stop_gradient(soft_argmax(det_logits))
-        inst_map = instance_labels(text_map)
+        inst_map = instance_labels(text_map, impl=self.instance_impl)
 
         # per-scale dual masked self-attention + gated fusion: the region
         # maps travel as O(L) id VECTORS, masked via the in-kernel Pallas

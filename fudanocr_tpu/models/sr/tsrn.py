@@ -30,9 +30,11 @@ Dtype = Any
 class RecurrentResidualBlock(nn.Module):
     features: int
     dtype: Optional[Dtype] = None
+    fuse_gru: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        fuse = self.fuse_gru if not train else False  # kernel has no VJP
         r = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv1")(x)
         r = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(r)
@@ -41,9 +43,9 @@ class RecurrentResidualBlock(nn.Module):
         r = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(r)
         r = SpatialGRU(self.features, axis="H", dtype=self.dtype,
-                       name="gru1")(r)
+                       fuse=fuse, name="gru1")(r)
         return SpatialGRU(self.features, axis="W", dtype=self.dtype,
-                          name="gru2")(x + r)
+                          fuse=fuse, name="gru2")(x + r)
 
 
 class TSRN(nn.Module):
@@ -55,6 +57,10 @@ class TSRN(nn.Module):
     mask: bool = False
     hidden_units: int = 32
     dtype: Optional[Dtype] = None
+    fused_gru: Any = False  # Pallas BiGRU kernel at inference (TPU
+    # backend, supported shapes only — see nn/recurrent.py BiGRU.fuse);
+    # training keeps the lax.scan path (the kernel has no VJP).
+    # Default set by the on-chip A/B in scripts/bench_sweep_tbsrn.py.
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -83,6 +89,7 @@ class TSRN(nn.Module):
         h = stem
         for i in range(self.srb_nums):
             h = RecurrentResidualBlock(feats, dtype=self.dtype,
+                                       fuse_gru=self.fused_gru,
                                        name=f"srb{i}")(h, train)
         h = ConvBN(feats, dtype=self.dtype, name="trunk_tail")(h, train)
 

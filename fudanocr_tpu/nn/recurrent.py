@@ -74,29 +74,51 @@ def _lstm_scan(xproj: jax.Array, wh: jax.Array, bh: jax.Array,
 
 
 class BiGRU(nn.Module):
-    """Bidirectional GRU over (B, T, In) -> (B, T, 2*hidden)."""
+    """Bidirectional GRU over (B, T, In) -> (B, T, 2*hidden).
+
+    With `fuse` on (inference on TPU, supported shape) both directions
+    run as ONE Pallas kernel with the recurrence VMEM-resident
+    (ops/fused_gru.py) instead of two lax.scans whose per-step tensors
+    round-trip HBM. Same fp32 gate math either way; the kernel has no
+    VJP, so differentiated paths (training) keep the scan."""
 
     hidden: int
     dtype: Optional[Dtype] = None
+    fuse: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from fudanocr_tpu.ops.fused_gru import (fused_bigru,
+                                                fused_gru_supported)
+
         indim = x.shape[-1]
-        outs = []
         xf = x.astype(jnp.float32)
-        for direction, reverse in (("fwd", False), ("bwd", True)):
+        projs, whs, bhs = [], [], []
+        for direction in ("fwd", "bwd"):
             wi = self.param(f"wi_{direction}", nn.initializers.lecun_normal(),
                             (indim, 3 * self.hidden))
             bi = self.param(f"bi_{direction}", nn.initializers.zeros,
                             (3 * self.hidden,))
-            wh = self.param(f"wh_{direction}",
-                            nn.initializers.orthogonal(column_axis=0),
-                            (self.hidden, 3 * self.hidden))
-            bh = self.param(f"bh_{direction}", nn.initializers.zeros,
-                            (3 * self.hidden,))
-            xproj = xf @ wi + bi  # one big MXU matmul over all timesteps
-            outs.append(_gru_scan(xproj, wh, bh, reverse=reverse))
-        y = jnp.concatenate(outs, axis=-1)
+            whs.append(self.param(f"wh_{direction}",
+                                  nn.initializers.orthogonal(column_axis=0),
+                                  (self.hidden, 3 * self.hidden)))
+            bhs.append(self.param(f"bh_{direction}", nn.initializers.zeros,
+                                  (3 * self.hidden,)))
+            projs.append(xf @ wi + bi)  # one big MXU matmul over all steps
+
+        use_fused = bool(self.fuse) and (
+            self.fuse == "force"
+            or (jax.default_backend() != "cpu"
+                and fused_gru_supported(x.shape[0], x.shape[1],
+                                        self.hidden)))
+        if use_fused:
+            y = fused_bigru(projs[0], projs[1], whs[0], bhs[0],
+                            whs[1], bhs[1], self.hidden)
+        else:
+            y = jnp.concatenate(
+                [_gru_scan(projs[0], whs[0], bhs[0], reverse=False),
+                 _gru_scan(projs[1], whs[1], bhs[1], reverse=True)],
+                axis=-1)
         return y.astype(self.dtype or x.dtype)
 
 
@@ -138,6 +160,7 @@ class SpatialGRU(nn.Module):
     features: int
     axis: str = "H"  # which spatial axis the recurrence runs along
     dtype: Optional[Dtype] = None
+    fuse: Any = False  # Pallas BiGRU kernel (see BiGRU.fuse)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -148,7 +171,8 @@ class SpatialGRU(nn.Module):
             seq = x.transpose(0, 2, 1, 3).reshape(b * w, h, c)
         else:
             seq = x.reshape(b * h, w, c)
-        y = BiGRU(self.features // 2, dtype=self.dtype, name="gru")(seq)
+        y = BiGRU(self.features // 2, dtype=self.dtype, fuse=self.fuse,
+                  name="gru")(seq)
         if self.axis == "H":
             y = y.reshape(b, w, h, self.features).transpose(0, 2, 1, 3)
         else:

@@ -83,7 +83,7 @@ def _fwd_body(q, k, v, neg, o_ref, *, scale, heads):
 
 def _region_fwd_kernel(q_ref, k_ref, v_ref, rq_ref, rkv_ref, o_ref, *,
                        scale, heads):
-    neg = _suppress(rq_ref[0], rkv_ref[0])  # (bq, lkv), shared across heads
+    neg = _suppress(rq_ref[0, 0], rkv_ref[0, 0])  # (bq, lkv), all heads
     _fwd_body(q_ref[0], k_ref[0], v_ref[0], neg, o_ref,
               scale=scale, heads=heads)
 
@@ -145,7 +145,7 @@ def _bwd_body(q, k, v, do, neg, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
 def _region_bwd_kernel(q_ref, k_ref, v_ref, rq_ref, rkv_ref, do_ref,
                        dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                        scale, heads):
-    neg = _suppress(rq_ref[0], rkv_ref[0])
+    neg = _suppress(rq_ref[0, 0], rkv_ref[0, 0])
     _bwd_body(q_ref[0], k_ref[0], v_ref[0], do_ref[0], neg,
               dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
               scale=scale, heads=heads)
@@ -169,6 +169,11 @@ def _region_fwd(q, k, v, rq, rkv, heads: int):
     lkv = k.shape[1]
     bq = _chunk(lq)
     grid = (b, lq // bq)
+    # id vectors travel as (B, 1, L): a (1, 1, chunk) block keeps the
+    # second-minor block dim equal to the array dim, which Mosaic
+    # requires once B > 1 (a (1, chunk) block of a (B, L) array is
+    # rejected for B >= 2)
+    rq, rkv = rq[:, None, :], rkv[:, None, :]
     return pl.pallas_call(
         functools.partial(_region_fwd_kernel,
                           scale=1.0 / math.sqrt(d // heads), heads=heads),
@@ -182,8 +187,8 @@ def _region_fwd(q, k, v, rq, rkv, heads: int):
             pl.BlockSpec((1, bq, d), lambda bi, qi: (bi, qi, 0)),
             pl.BlockSpec((1, lkv, d), lambda bi, qi: (bi, 0, 0)),
             pl.BlockSpec((1, lkv, d), lambda bi, qi: (bi, 0, 0)),
-            pl.BlockSpec((1, bq), lambda bi, qi: (bi, qi)),
-            pl.BlockSpec((1, lkv), lambda bi, qi: (bi, 0)),
+            pl.BlockSpec((1, 1, bq), lambda bi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, lkv), lambda bi, qi: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda bi, qi: (bi, qi, 0)),
         compiler_params=pltpu.CompilerParams(
@@ -198,6 +203,7 @@ def _region_bwd(q, k, v, rq, rkv, do, heads: int):
     lkv = k.shape[1]
     bq = _chunk(lq)
     grid = (b, lq // bq)
+    rq, rkv = rq[:, None, :], rkv[:, None, :]  # see _region_fwd
     kv_spec = pl.BlockSpec((1, lkv, d), lambda bi, qi: (bi, 0, 0))
     return pl.pallas_call(
         functools.partial(_region_bwd_kernel,
@@ -213,8 +219,8 @@ def _region_bwd(q, k, v, rq, rkv, do, heads: int):
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda bi, qi: (bi, qi, 0)),
             kv_spec, kv_spec,
-            pl.BlockSpec((1, bq), lambda bi, qi: (bi, qi)),
-            pl.BlockSpec((1, lkv), lambda bi, qi: (bi, 0)),
+            pl.BlockSpec((1, 1, bq), lambda bi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, lkv), lambda bi, qi: (bi, 0, 0)),
             pl.BlockSpec((1, bq, d), lambda bi, qi: (bi, qi, 0)),
         ],
         out_specs=[

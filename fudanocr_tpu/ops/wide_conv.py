@@ -55,8 +55,15 @@ def wide_output_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     """
     b, h, w, cin = x.shape
     kh, kw, _, cout = kernel.shape
-    assert kh % 2 == 1 and kw % 2 == 1, (kh, kw)
-    assert w % block == 0 and kw - 1 <= block, (w, kw, block)
+    # ValueError (not assert): these preconditions guard output
+    # correctness for direct callers bypassing NarrowOutputConv's
+    # fallback check, and must survive python -O
+    if kh % 2 != 1 or kw % 2 != 1:
+        raise ValueError(f"odd kernel required, got {(kh, kw)}")
+    if w % block != 0 or kw - 1 > block:
+        raise ValueError(
+            f"W={w} must be a multiple of block={block} and kw-1={kw - 1}"
+            f" <= block (one strided window must span the halo)")
     ph, pw = kh // 2, kw // 2
     kp = widen_kernel(kernel, block)
     xp = jnp.pad(x, ((0, 0), (0, 0), (pw, pw), (0, 0)))
@@ -89,7 +96,10 @@ class NarrowOutputConv(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kh, kw, x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        dt = self.dtype or x.dtype
+        # nn.Conv(dtype=None) promotes via result_type(x, kernel, bias) —
+        # with bf16 input and fp32 params that means fp32 compute; match
+        # that here so the module stays a true drop-in (advisor r3).
+        dt = self.dtype or jnp.result_type(x, kernel, bias)
         xc, kc = x.astype(dt), kernel.astype(dt)
         w = x.shape[2]
         block = self.block

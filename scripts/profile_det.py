@@ -30,7 +30,8 @@ def main():
                                      dtype=jnp.bfloat16),
         decode_head=SegformerHead(num_classes=2, channels=256,
                                   dtype=jnp.bfloat16))
-    B = 1
+    import os
+    B = int(os.environ.get("DET_PROFILE_BATCH", "1"))
     img = jax.random.uniform(jax.random.PRNGKey(4), (B, 1024, 1024, 3))
     gt = jnp.zeros((B, 1024, 1024), jnp.int32)
     det = jnp.zeros((B, 1024, 1024), jnp.int32)

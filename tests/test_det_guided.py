@@ -158,3 +158,44 @@ def test_device_instance_labels_adversarial_shapes():
             np.testing.assert_array_equal(
                 (w[:, None] == w[None, :]), (g[:, None] == g[None, :]))
         assert (got[binary == 0] == 0).all()
+
+
+def test_instance_labels_mesh_aware_dispatch_and_sharded_agreement():
+    """Under a multi-device mesh the auto dispatch must take the device
+    CCL (the cv2 callback would gather the whole tensor to device 0 —
+    the round-3 SPMD rematerialization warnings), and the sharded device
+    result must induce the same partition as the host-cv2 oracle."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from fudanocr_tpu.models.seg.det_guided import (_instance_labels_host,
+                                                    instance_labels)
+
+    assert len(jax.devices()) == 8  # conftest forces the virtual mesh
+
+    binary = np.zeros((8, 24, 24), np.int32)
+    rng = np.random.default_rng(11)
+    for b in range(8):
+        for _ in range(3):
+            y, x = rng.integers(0, 16, 2)
+            binary[b, y:y + rng.integers(2, 8), x:x + rng.integers(2, 8)] = 1
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    x = jax.device_put(jnp.asarray(binary, jnp.float32), sh)
+    got = np.asarray(jax.jit(instance_labels)(x))  # auto => device path
+
+    want = _instance_labels_host(binary)
+    for b in range(8):
+        w = want[b].reshape(-1)
+        g = got[b].reshape(-1)
+        np.testing.assert_array_equal(
+            (w[:, None] == w[None, :]), (g[:, None] == g[None, :]))
+    assert (got[binary == 0] == 0).all()
+
+    # explicit impl='host' still runs the cv2 callback (the single-device
+    # parity oracle), byte-identical to calling the host fn directly
+    host = np.asarray(jax.jit(
+        lambda t: instance_labels(t, impl="host"))(jnp.asarray(
+            binary, jnp.float32)))
+    np.testing.assert_array_equal(host, want)

@@ -109,7 +109,10 @@ def test_cascade_mit_v10_port_parity():
 
     ours = CascadeMiTDetGuided(embed_dims=8, num_layers=(1, 1, 1, 1),
                                num_heads=(1, 2, 5, 8),
-                               sr_ratios=(8, 4, 2, 1), drop_path_rate=0.0)
+                               sr_ratios=(8, 4, 2, 1), drop_path_rate=0.0,
+                               instance_impl="host")  # the torch fixture
+    # bakes cv2's hole filling in; auto would take the device CCL on the
+    # suite's 8-device mesh (mesh-aware dispatch)
     x = np.random.default_rng(23).random((1, 128, 128, 3)).astype(np.float32)
     outs, det_logits = ours.apply(variables, jnp.asarray(x))
 
