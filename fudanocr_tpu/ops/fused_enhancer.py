@@ -18,11 +18,16 @@ qkv contribution (pe @ W_bot + b) is hoisted out of the grid entirely —
 the kernel contracts only the token half of Wqkv (half the qkv FLOPs)
 and the (B, L, 128) tokens-with-PE concat never touches HBM. fp32
 accumulation everywhere; activations round to the input dtype at the
-same points the unfused module path does, with ONE intentional
-exception: the softmax scale (and exp2's log2(e)) is folded into q
+same points the unfused module path does, with TWO intentional
+exceptions: (1) the softmax scale (and exp2's log2(e)) is folded into q
 before the cast to the compute dtype, so q's bf16 rounding point
-differs from the unfused path (which scales the fp32 scores) — parity
-is exact in fp32 and within the loose bf16 tolerances otherwise.
+differs from the unfused path (which scales the fp32 scores); (2) the
+softmax applies NO per-row max shift — range safety is a +-100 clip on
+the fp32 scores that fuses into the exp2 pass (softmax is
+shift/rescale-invariant, so this changes only fp rounding for any
+realistic score magnitude — see the in-kernel comment for the range
+analysis). Parity holds at rtol 2e-4 in fp32 and within the loose bf16
+tolerances (tests/test_fused_enhancer.py).
 
 Inference-only (no dropout, no custom VJP): the training path keeps the
 composable kernels whose in-kernel-dropout backward already exists.
@@ -109,8 +114,18 @@ def enhancer_body(t, pe_ref, peqkv_ref, wtop_ref, wout_ref, bout_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m).astype(dt)
+        # No max-subtraction: softmax is shift-invariant (the ratio
+        # p@v / p@1 below is unchanged by ANY per-row rescale of p), so
+        # the usual per-row max only serves fp range — and an on-chip
+        # A/B (scripts/exp_enhancer_r5.py) shows its reduce+subtract VPU
+        # passes over the (L, L) fp32 scores cost ~4% of the whole
+        # enhancer. Range safety comes from a clip instead: elementwise,
+        # so it fuses into the exp2 pass (a reduction can't). Bounds
+        # +-100 guarantee p in [2^-100, 2^100] — no overflow, and the
+        # denominator is >= L*2^-100 > 0, so no 0/0 NaN for ANY input.
+        # Exact whenever scores stay inside (-100, 100); the enhancer's
+        # are O(1..10) (and the unfused/train paths keep the true max).
+        p = jnp.exp2(jnp.clip(s, -100.0, 100.0)).astype(dt)
         # The softmax denominator rides the PV matmul: a ones column
         # appended to v makes the MXU emit the row sums for free (the
         # (L, dh) output pads to 128 lanes either way), dropping one
