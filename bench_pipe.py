@@ -129,9 +129,11 @@ def bench_pixels_to_strings(model, variables):
     from fudanocr_tpu.models.rec.crnn import CRNN
     from fudanocr_tpu.serving import PixelsToStrings
 
+    # reference evaluator config: CRNN(32, 1, 37, 256) on gray input
+    # (interfaces/base.py:310,319-325)
     crnn = CRNN(num_classes=37, dtype=jnp.bfloat16)
     crnn_vars = jax.jit(crnn.init)(jax.random.PRNGKey(3),
-                                   jnp.zeros((1, 32, 100, 3)))
+                                   jnp.zeros((1, 32, 100, 1)))
     conv = CTCLabelConverter("0123456789abcdefghijklmnopqrstuvwxyz")
     pipe = PixelsToStrings(lambda x: model.apply(variables, x),
                            lambda x: crnn.apply(crnn_vars, x), conv)
@@ -141,12 +143,13 @@ def bench_pixels_to_strings(model, variables):
     # as bench.py: the tunnel makes per-dispatch timing unreliable)
     from fudanocr_tpu.eval.ctc import ctc_greedy_decode
 
+    from fudanocr_tpu.models.rec.crnn import parse_crnn_input
+
     def chain(variables, crnn_vars, x):
         def body(x, _):
             sr = model.apply(variables, x)
-            rec_in = jax.image.resize(sr[..., :3].astype(jnp.float32),
-                                      (BATCH, 32, 100, 3), "bicubic")
-            ids = ctc_greedy_decode(crnn.apply(crnn_vars, rec_in))
+            ids = ctc_greedy_decode(crnn.apply(crnn_vars,
+                                               parse_crnn_input(sr)))
             return sr[:, ::2, ::2, :].astype(jnp.float32), ids.max()
         _, idm = jax.lax.scan(body, x, None, length=ITERS_DEV)
         return idm

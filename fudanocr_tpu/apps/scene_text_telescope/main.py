@@ -66,9 +66,10 @@ def main(argv=None):
 
     # frozen CRNN evaluator
     from fudanocr_tpu.models.rec.crnn import CRNN
+    # reference config: CRNN(32, 1, 37, 256) on gray input (base.py:310)
     recognizer = CRNN(num_classes=37)
     rec_variables = recognizer.init(jax.random.PRNGKey(1),
-                                    jnp.zeros((2, 32, 100, 3)))
+                                    jnp.zeros((2, 32, 100, 1)))
     converter = CTCLabelConverter("0123456789abcdefghijklmnopqrstuvwxyz")
 
     from fudanocr_tpu.train.sr import SRTrainer

@@ -59,9 +59,11 @@ def main(argv=None):
         loss_fn = TextFocusLoss(None, None, text_focus=False)
 
     from fudanocr_tpu.models.rec.crnn import CRNN
+    # reference config: CRNN(32, 1, 37, 256) on gray input
+    # (text-gestalt/interfaces/base.py CRNN_init — same as STT base.py:310)
     recognizer = CRNN(num_classes=37)
     rec_variables = recognizer.init(jax.random.PRNGKey(1),
-                                    jnp.zeros((2, 32, 100, 3)))
+                                    jnp.zeros((2, 32, 100, 1)))
     converter = CTCLabelConverter("0123456789abcdefghijklmnopqrstuvwxyz")
 
     from fudanocr_tpu.train.sr import SRTrainer

@@ -4,6 +4,11 @@ Rebuild of scene-text-telescope/model/crnn/crnn.py:25-80: seven convs with
 asymmetric pooling collapse a 32-high image to a 1-high, W/4-wide feature
 sequence; two stacked BiLSTMs emit per-column class logits (blank + 36).
 
+The reference runs this evaluator as `CRNN(32, 1, 37, 256)` on 1-channel
+GRAY input produced by `parse_crnn_data` (bicubic 32x100 then
+0.299R + 0.587G + 0.114B, interfaces/base.py:310,319-325) — use
+`parse_crnn_input` below at every feed site for parity.
+
 TPU notes: NHWC; the (2,2)/(2,1) pools with (0,1) width padding are
 expressed as explicit pad + VALID pool; the BiLSTMs run as lax.scan with
 hoisted input projections (see nn/recurrent.py). Output is (B, T, C)
@@ -23,11 +28,35 @@ from fudanocr_tpu.nn.layers import max_pool
 
 Dtype = Any
 
+# ITU-R BT.601 luma weights — the exact constants the reference uses to
+# feed its 1-channel CRNN (interfaces/base.py:319-325 parse_crnn_data).
+_LUMA = (0.299, 0.587, 0.114)
+
+
+def parse_crnn_input(imgs: jax.Array, hw=(32, 100)) -> jax.Array:
+    """Reference-faithful CRNN preprocessing: bicubic resize to 32x100,
+    then RGB -> gray via 0.299R + 0.587G + 0.114B.
+
+    Mirror of scene-text-telescope/interfaces/base.py:319-325
+    (`parse_crnn_data`): the reference evaluator is `CRNN(32, 1, 37, 256)`
+    (base.py:310) and every eval/test call feeds it this gray transform.
+    Input (B, H, W, C>=3) NHWC in [0, 1]; output (B, 32, 100, 1).
+    """
+    from fudanocr_tpu.ops.resize import resize_bicubic_torch
+
+    x = imgs[..., :3].astype(jnp.float32)
+    # torch-exact bicubic (a=-0.75, no antialias) — jax.image.resize's
+    # bicubic is a different kernel and would break evaluator parity
+    x = resize_bicubic_torch(x, hw)
+    r, g, b = _LUMA
+    gray = r * x[..., 0:1] + g * x[..., 1:2] + b * x[..., 2:3]
+    return gray
+
 
 class CRNN(nn.Module):
     num_classes: int = 37
     hidden: int = 256
-    in_channels: int = 3
+    in_channels: int = 1
     leaky_relu: bool = False
     dtype: Optional[Dtype] = None
 

@@ -81,8 +81,9 @@ def instance_labels_device(text_map: jax.Array,
     * two pointer jumps (`lab <- lab[lab]`) compress paths.
 
     The hook/jump pair alone bounds ANY component shape (serpentine,
-    spiral — exercised by test_det_guided) at ~log2(H*W)+margin rounds,
-    which remains the iteration cap; the scans make blob-like real
+    spiral — exercised by test_det_guided) at ~log2(H*W) hook/jump
+    rounds; since hook/jump rounds alternate with scan-only rounds, the
+    iteration cap is ~2*log2(H*W)+8. The scans make blob-like real
     components converge in O(number of bends) rounds.
 
     Used where host callbacks are unavailable (the axon TPU tunnel

@@ -75,13 +75,13 @@ class PixelsToStrings:
         h, w = rec_hw
 
         def ids_and_sr(lr):
+            from fudanocr_tpu.models.rec.crnn import parse_crnn_input
+
             sr = sr_apply(lr)
-            # the reference bicubics SR output to 32x100 RGB before CRNN
-            # (interfaces/base.py:327-333 parse_crnn_data)
-            rec_in = jax.image.resize(
-                sr[..., :3].astype(jnp.float32),
-                (lr.shape[0], h, w, 3), "bicubic")
-            ids = ctc_greedy_decode(rec_apply(rec_in))
+            # the reference bicubics SR output to 32x100 and converts to
+            # 1-channel gray before its CRNN(32,1,37,256)
+            # (interfaces/base.py:310,319-325 parse_crnn_data)
+            ids = ctc_greedy_decode(rec_apply(parse_crnn_input(sr, (h, w))))
             return ids, sr
 
         self._ids_and_sr = jax.jit(ids_and_sr)

@@ -92,11 +92,11 @@ def make_sr_eval_step(model, mesh, recognizer=None):
                "psnr": psnr(sr01[..., :3], hr_imgs[..., :3]),
                "ssim": ssim(sr01[..., :3], hr_imgs[..., :3])}
         if recognizer is not None and rec_variables is not None:
-            # CRNN consumes 32-high gray-scale-ish input; the reference
-            # bicubics SR output to 32x100 RGB (interfaces/base.py:327-333).
-            rec_in = jax.image.resize(
-                sr[..., :3], (sr.shape[0], 32, 100, 3), "bicubic")
-            logits = recognizer.apply(rec_variables, rec_in)
+            # the reference bicubics SR output to 32x100 then converts to
+            # 1-channel gray (0.299/0.587/0.114) before its CRNN(32,1,37,256)
+            # evaluator (interfaces/base.py:310,319-325 parse_crnn_data)
+            from fudanocr_tpu.models.rec.crnn import parse_crnn_input
+            logits = recognizer.apply(rec_variables, parse_crnn_input(sr))
             out["rec_ids"] = ctc_greedy_decode(logits)
         return out
 

@@ -42,10 +42,12 @@ def test_crnn_logits_match_reference():
         sys.path.pop(0)
 
     torch.manual_seed(0)
-    ref = RefCRNN(32, 3, 37, 256).eval()
+    # the reference's REAL evaluator config: 1-channel gray input
+    # (interfaces/base.py:310 `crnn.CRNN(32, 1, 37, 256)`)
+    ref = RefCRNN(32, 1, 37, 256).eval()
 
     ours = CRNN(num_classes=37, hidden=256)
-    x = np.random.default_rng(5).random((2, 32, 100, 3)).astype(np.float32)
+    x = np.random.default_rng(5).random((2, 32, 100, 1)).astype(np.float32)
     params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
     p = jax.tree_util.tree_map(lambda a: a, params)  # mutable copy
     p = {"params": dict(p["params"]), "batch_stats": dict(p["batch_stats"])}
@@ -82,6 +84,39 @@ def test_crnn_logits_match_reference():
     want = want.transpose(1, 0, 2)  # (T, B, C) -> (B, T, C)
 
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_parse_crnn_input_matches_reference_parse_crnn_data():
+    """Our evaluator preprocessing must reproduce the reference's
+    parse_crnn_data exactly: torch bicubic (a=-0.75, no antialias) to
+    32x100 then 0.299R+0.587G+0.114B gray (interfaces/base.py:319-325)."""
+    torch = pytest.importorskip("torch")
+    from fudanocr_tpu.models.rec.crnn import parse_crnn_input
+
+    x = np.random.default_rng(7).random((3, 16, 64, 3)).astype(np.float32)
+    got = np.asarray(parse_crnn_input(jnp.asarray(x)))  # (B, 32, 100, 1)
+
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    t = torch.nn.functional.interpolate(t, (32, 100), mode="bicubic")
+    want = (0.299 * t[:, 0:1] + 0.587 * t[:, 1:2] + 0.114 * t[:, 2:3])
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    assert got.shape == (3, 32, 100, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_parse_crnn_input_upscale_matches_torch():
+    """Same parity on the upscale direction (LR 16x64 -> 32x100 covers
+    both H-up and W-up; this covers a downscale in W too)."""
+    torch = pytest.importorskip("torch")
+    from fudanocr_tpu.ops.resize import resize_bicubic_torch
+
+    x = np.random.default_rng(11).random((2, 32, 128, 3)).astype(np.float32)
+    got = np.asarray(resize_bicubic_torch(jnp.asarray(x), (32, 100)))
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    want = torch.nn.functional.interpolate(
+        t, (32, 100), mode="bicubic").numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def test_ctc_converter_roundtrip():

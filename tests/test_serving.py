@@ -124,7 +124,7 @@ def test_pixels_to_strings_matches_separate_calls():
     (reference flow: super_resolution.py:241-329 + get_crnn_pred :143)."""
     import jax
     from fudanocr_tpu.eval.ctc import CTCLabelConverter, ctc_greedy_decode
-    from fudanocr_tpu.models.rec.crnn import CRNN
+    from fudanocr_tpu.models.rec.crnn import CRNN, parse_crnn_input
     from fudanocr_tpu.models.sr import TBSRN
     from fudanocr_tpu.serving import PixelsToStrings
 
@@ -133,18 +133,17 @@ def test_pixels_to_strings_matches_separate_calls():
     crnn = CRNN(num_classes=37, hidden=32)
     lr = jax.random.uniform(jax.random.PRNGKey(0), (3, 8, 16, 3))
     sr_vars = sr_model.init(jax.random.PRNGKey(1), lr)
-    crnn_vars = crnn.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 100, 3)))
+    # reference evaluator config: 1-channel gray input (base.py:310)
+    crnn_vars = crnn.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 100, 1)))
 
     conv = CTCLabelConverter("0123456789abcdefghijklmnopqrstuvwxyz")
     pipe = PixelsToStrings(lambda x: sr_model.apply(sr_vars, x),
                            lambda x: crnn.apply(crnn_vars, x), conv)
     got, sr_out = pipe(lr, return_sr=True)
 
-    # separate calls, stage by stage
+    # separate calls, stage by stage (gray transform = parse_crnn_data)
     sr = sr_model.apply(sr_vars, lr)
-    rec_in = jax.image.resize(sr[..., :3].astype(jnp.float32),
-                              (3, 32, 100, 3), "bicubic")
-    ids = ctc_greedy_decode(crnn.apply(crnn_vars, rec_in))
+    ids = ctc_greedy_decode(crnn.apply(crnn_vars, parse_crnn_input(sr)))
     want = conv.decode_ids(np.asarray(ids))
 
     assert got == want
