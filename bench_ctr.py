@@ -28,6 +28,14 @@ TRAIN_ITERS = 10
 DECODE_ITERS = 4
 MAX_LEN = 30
 
+# Reference V100 estimates, anchored by a measured CPU run of the
+# reference's own torch code (scripts/measure_ref_ctr_cpu.py: train
+# 1.09 img/s, decode30 1.55 img/s on this 1-core host) scaled through
+# the shared FLOP model — full chain in BASELINE.md
+# "REF_GPU_CTR_* derivation".
+REF_GPU_CTR_TRAIN_IPS = 65
+REF_GPU_CTR_DECODE_IPS = 93
+
 
 def main():
     require_device()
@@ -83,7 +91,7 @@ def main():
         "mfu": round(mfu_of(step_flops, dt), 4),
         "gflops_per_step": round(step_flops / 1e9, 1),
         "xla_flops_scan_body": xla_flops(compiled),
-        "vs_baseline": None,
+        "vs_baseline": round(BATCH / dt / REF_GPU_CTR_TRAIN_IPS, 2),
     }))
 
     # ---- autoregressive eval (30 decode steps, conv encoded once) ----
@@ -110,7 +118,7 @@ def main():
         "value": round(BATCH / dt, 1),
         "unit": "images/sec/chip",
         "ms_per_batch": round(dt * 1e3, 1),
-        "vs_baseline": None,
+        "vs_baseline": round(BATCH / dt / REF_GPU_CTR_DECODE_IPS, 2),
     }))
 
 

@@ -84,6 +84,38 @@ def main():
         "cpus": os.cpu_count(),
     }))
 
+    # ---- reference autoregressive eval loop (train.py:110-121): 30 calls
+    # of model(image, len=i+1, pred_prefix, conv_feature=cache, test=True),
+    # conv features cached after the first call ----
+    model.eval()
+    max_length = 30
+
+    @torch.no_grad()
+    def decode():
+        pred = torch.zeros(BATCH, 1).long()
+        feats = None
+        for i in range(max_length):
+            ln = torch.zeros(BATCH).long() + i + 1
+            result = model(image, ln, pred, conv_feature=feats, test=True)
+            now = torch.max(torch.softmax(result["pred"], 2), 2)[1]
+            pred = torch.cat((pred, now[:, -1].view(-1, 1)), 1)
+            feats = result["conv"]
+        return pred
+
+    decode()  # warm
+    t0 = time.perf_counter()
+    for _ in range(max(1, STEPS // 3)):
+        decode()
+    dt = (time.perf_counter() - t0) / max(1, STEPS // 3)
+    print(json.dumps({
+        "metric": "reference_sld_ctr_decode30_cpu",
+        "sec_per_batch": round(dt, 3),
+        "batch": BATCH,
+        "img_per_sec": round(BATCH / dt, 4),
+        "torch": torch.__version__,
+        "cpus": os.cpu_count(),
+    }))
+
 
 if __name__ == "__main__":
     main()
