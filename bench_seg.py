@@ -31,6 +31,16 @@ import jax.numpy as jnp
 from bench_util import analytic_flops, mfu as mfu_of, require_device, xla_flops
 
 REF_V100_SEG_FPS = 38.2     # 26.2 ms/im SegFormer-B0 (segformer.yml:18-38)
+# Reference V100 TRAIN estimate at the plain-textseg recipe (cascade-B0,
+# 512^2 crop, CE+Lovasz, AdamW), anchored by a measured CPU run of the
+# reference's own torch code (scripts/measure_ref_seg_cpu.py: 0.705
+# img/s on this 1-core host) scaled through the shared FLOP model —
+# full chain in BASELINE.md "REF_GPU_SEG_TRAIN_IPS derivation". The
+# det-guided 1024^2 row derives its denominator from the same achieved
+# V100 rate via the FLOP ratio (generous to the reference: it ignores
+# the reference's per-step host cv2.findContours sync).
+REF_GPU_SEG_TRAIN_IPS = 46       # plain B0 512^2, 76.3 GFLOP/im
+REF_SEG_TRAIN_GFLOP_PER_IM = 76.3
 TRAIN_BATCH = 2
 TRAIN_ITERS = 8
 INFER_ITERS = 8
@@ -113,7 +123,7 @@ def main():
         "mfu": round(mfu_of(step_flops, dt), 4),
         "gflops_per_step": round(step_flops / 1e9, 1),
         "xla_flops_scan_body": xla_flops(compiled),
-        "vs_baseline": None,
+        "vs_baseline": round(TRAIN_BATCH / dt / REF_GPU_SEG_TRAIN_IPS, 2),
     }))
 
     # ---- DET-GUIDED train step @ the published 1024^2 det recipe ----
@@ -172,7 +182,12 @@ def main():
             "ms_per_step": round(dt * 1e3, 1),
             "mfu": round(mfu_of(det_flops, dt), 4),
             "gflops_per_step": round(det_flops / 1e9, 1),
-            "vs_baseline": None,
+            # V100 det-guided estimate = plain-train achieved rate scaled
+            # by the FLOP ratio (same achieved TFLOP/s on the bigger step)
+            "vs_baseline": round(
+                det_batch / dt / (REF_GPU_SEG_TRAIN_IPS *
+                                  REF_SEG_TRAIN_GFLOP_PER_IM /
+                                  (det_flops / det_batch / 1e9)), 2),
         }), flush=True)
 
     # reference det configs are 8x1 (batch 1/GPU); per-chip batching up is
