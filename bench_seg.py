@@ -23,6 +23,7 @@ TBSRN-only; this file is the seg-stack counterpart.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -44,6 +45,10 @@ REF_SEG_TRAIN_GFLOP_PER_IM = 76.3
 TRAIN_BATCH = 2
 TRAIN_ITERS = 8
 INFER_ITERS = 8
+# A/B override for the Lovász implementation in both train rows:
+# LOVASZ_IMPL=sort|bucketed ('sort' is the exact reference math; the
+# default is decided by the committed r5 on-chip A/B)
+LOVASZ_IMPL = os.environ.get("LOVASZ_IMPL", "sort")
 
 
 def _timed(jitted, args, iters) -> float:
@@ -86,7 +91,7 @@ def main():
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
     raw_step = make_seg_train_step(model, mesh, {"ce": 1.0, "lovasz": 1.0},
-                                   wrap_jit=False)
+                                   wrap_jit=False, lovasz_impl=LOVASZ_IMPL)
     batch = {"img": img, "gt_seg": gt}
 
     # chain the iterations INSIDE one jit (lax.scan with the state as
@@ -117,6 +122,7 @@ def main():
     dt = (time.perf_counter() - t0) / TRAIN_ITERS
     print(json.dumps({
         "metric": "cascade_mit_b0_512_train",
+        "lovasz": LOVASZ_IMPL,
         "value": round(TRAIN_BATCH / dt, 2),
         "unit": "images/sec/chip",
         "ms_per_step": round(dt * 1e3, 1),
@@ -150,7 +156,8 @@ def main():
                                    dvars.get("batch_stats", {}), dtx)
         det_step = make_seg_train_step(det_model, dmesh,
                                        {"ce": 1.0, "lovasz": 1.0},
-                                       det_loss_ratio=0.1, wrap_jit=False)
+                                       det_loss_ratio=0.1, wrap_jit=False,
+                                       lovasz_impl=LOVASZ_IMPL)
         dbatch = {"img": dimg, "gt_seg": dgt, "gt_det": ddet}
 
         def det_chain(state, batch, rng):
@@ -176,6 +183,7 @@ def main():
         dt = (time.perf_counter() - t0) / DET_ITERS
         print(json.dumps({
             "metric": "cascade_mit_b0_det_guided_1024_train",
+            "lovasz": LOVASZ_IMPL,
             "batch": det_batch,
             "value": round(det_batch / dt, 2),
             "unit": "images/sec/chip",

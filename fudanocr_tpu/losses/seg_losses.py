@@ -88,6 +88,75 @@ def _lovasz_grad(gt_sorted: jax.Array) -> jax.Array:
     return jnp.concatenate([jac[:1], jac[1:] - jac[:-1]])
 
 
+def lovasz_softmax_bucketed(logits: jax.Array, labels: jax.Array,
+                            ignore_index: int = 255,
+                            num_buckets: int = 4096) -> jax.Array:
+    """Sort-free Lovász-softmax: exact Lovász of the BUCKETED error order.
+
+    The Lovász weights depend on the errors only through their descending
+    ORDER. Quantize errors to `num_buckets` levels and the per-position
+    weights within a tie-bucket can be distributed uniformly: the Jaccard
+    sequence telescopes, so the total weight of bucket k is
+    jac(C_k) - jac(C_{k-1}) where C_k are cumulative counts over buckets
+    — computable from K-bin histograms alone. On TPU this replaces two
+    O(P log^2 P) bitonic sorts (the det-guided train step's largest
+    non-matmul op, ~12% at 1024^2 batch 8) with fused compare-reduces
+    (P x K) and a K-table lookup; XLA streams the one-hot compare into
+    the reduction, nothing is materialized.
+
+    Exactness: equals `lovasz_softmax_loss` when no two distinct error
+    values share a bucket; otherwise it is the exact Lovász value of a
+    valid tie-broken ordering with tie-averaged per-pixel weights (error
+    spread within a bucket < 1/num_buckets). Binary (c == 2) only — the
+    textformer recipes; multi-class callers use the sort path.
+
+    Reference math: text-focused-Transformers mmseg/models/losses/
+    lovasz_loss.py (lovasz_softmax_flat); redesigned TPU-side.
+    """
+    c = logits.shape[-1]
+    assert c == 2, "bucketed Lovász implements the binary textformer case"
+    probs = jax.nn.softmax(
+        logits.astype(jnp.float32), axis=-1).reshape(-1, c)
+    flat = labels.reshape(-1)
+    valid = (flat != ignore_index)
+    safe = jnp.where(valid, flat, 0)
+    k = num_buckets
+
+    # shared error vector (|fg1 - p1| == |fg0 - p0| pointwise)
+    fg0 = ((safe == 0) & valid).astype(jnp.float32)
+    fg1 = ((safe == 1) & valid).astype(jnp.float32)
+    errors = jnp.where(valid, jnp.abs(fg0 - probs[:, 0]), 0.0)
+    e_sg = jax.lax.stop_gradient(errors)
+    # bucket 0 = highest error (descending order, as the sort path)
+    b = (k - 1) - jnp.clip((e_sg * (k - 1) + 0.5).astype(jnp.int32), 0, k - 1)
+
+    # K-bin histograms via broadcast-compare; XLA fuses the one-hot
+    # producer into the reduces (no P x K materialization)
+    oh = (b[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :])
+    ohf = oh.astype(jnp.float32)
+    cnt = jnp.sum(ohf, axis=0)                       # c_k
+    g0 = jnp.sum(ohf * fg0[:, None], axis=0)         # fg0 per bucket
+    vk = jnp.sum(ohf * valid.astype(jnp.float32)[:, None], axis=0)
+    g1 = vk - g0
+
+    def bucket_weights(g, gts):
+        cg = jnp.cumsum(g)
+        cc = jnp.cumsum(cnt)
+        inter = gts - cg
+        union = gts + (cc - cg)
+        jac = 1.0 - inter / jnp.maximum(union, 1e-8)
+        wsum = jnp.concatenate([jac[:1], jac[1:] - jac[:-1]])  # jac(C_-1)=0
+        return wsum / jnp.maximum(cnt, 1.0)
+
+    p0, p1 = jnp.sum(fg0) > 0, jnp.sum(fg1) > 0
+    wbar = jnp.where(p0, bucket_weights(g0, jnp.sum(fg0)), 0.0) \
+        + jnp.where(p1, bucket_weights(g1, jnp.sum(fg1)), 0.0)
+    w_px = jnp.take(jax.lax.stop_gradient(wbar), b)
+    loss = jnp.sum(errors * w_px)
+    present = p0.astype(jnp.float32) + p1.astype(jnp.float32)
+    return loss / jnp.maximum(present, 1.0)
+
+
 def lovasz_softmax_loss(logits: jax.Array, labels: jax.Array,
                         ignore_index: int = 255) -> jax.Array:
     """Lovász-softmax over all valid pixels, mean over present classes."""

@@ -24,6 +24,7 @@ from fudanocr_tpu.core import checkpoint as ckpt_lib
 from fudanocr_tpu.core.mesh import make_mesh, make_mesh_for_batch
 from fudanocr_tpu.eval.seg_metrics import intersect_and_union, total_metrics
 from fudanocr_tpu.losses.seg_losses import (cross_entropy_loss,
+                                            lovasz_softmax_bucketed,
                                             lovasz_softmax_loss, seg_accuracy)
 from fudanocr_tpu.models.seg.encoder_decoder import slide_inference
 from fudanocr_tpu.train.state import TrainState
@@ -150,7 +151,8 @@ def make_layer_decay_optimizer(params, base_lr: float = 6e-5,
 def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
                         det_loss_ratio: float = 0.1,
                         gt_guided_masks: bool = False,
-                        wrap_jit: bool = True):
+                        wrap_jit: bool = True,
+                        lovasz_impl: str = "sort"):
     """batch: {'img', 'gt_seg', optional 'gt_det', optional 'valid'}.
 
     With a det-guided model and `gt_det` in the batch, the det logits
@@ -165,6 +167,12 @@ def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
     published *_det configs use predicted masks (V10), so it defaults off.
     """
     loss_weights = loss_weights or {"ce": 1.0}
+    # 'bucketed' replaces the two O(P log^2 P) bitonic sorts with K-bin
+    # histogram compare-reduces (losses/seg_losses.py) — the A/B'd TPU
+    # fast path for the binary textformer recipes; 'sort' is the exact
+    # reference math and the fallback for num_classes != 2
+    lovasz = (lovasz_softmax_bucketed if lovasz_impl == "bucketed"
+              else lovasz_softmax_loss)
     batch_sharding = NamedSharding(mesh, P("data"))
 
     def step(state: TrainState, batch, rng):
@@ -202,15 +210,14 @@ def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
                     det_loss += loss_weights["ce"] * cross_entropy_loss(
                         up, gt_det)
                 if loss_weights.get("lovasz"):
-                    det_loss += loss_weights["lovasz"] * lovasz_softmax_loss(
-                        up, gt_det)
+                    det_loss += loss_weights["lovasz"] * lovasz(up, gt_det)
                 aux["det"] = det_loss
                 loss = loss + det_loss_ratio * det_loss
             if loss_weights.get("ce"):
                 aux["ce"] = cross_entropy_loss(logits, gt)
                 loss = loss + loss_weights["ce"] * aux["ce"]
             if loss_weights.get("lovasz"):
-                aux["lovasz"] = lovasz_softmax_loss(logits, gt)
+                aux["lovasz"] = lovasz(logits, gt)
                 loss = loss + loss_weights["lovasz"] * aux["lovasz"]
             aux["acc"] = seg_accuracy(logits, gt)
             return loss, (aux, mutated["batch_stats"])
@@ -227,10 +234,12 @@ def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
 
 
 @_functools.lru_cache(maxsize=32)
-def _shared_seg_step(model, mesh, lw_items, det_loss_ratio, gt_guided_masks):
+def _shared_seg_step(model, mesh, lw_items, det_loss_ratio, gt_guided_masks,
+                     lovasz_impl):
     return make_seg_train_step(model, mesh, dict(lw_items),
                                det_loss_ratio=det_loss_ratio,
-                               gt_guided_masks=gt_guided_masks)
+                               gt_guided_masks=gt_guided_masks,
+                               lovasz_impl=lovasz_impl)
 
 
 @_functools.lru_cache(maxsize=64)
@@ -259,7 +268,8 @@ def _shared_eval_fn(model, crop, stride):
 
 def shared_seg_train_step(model, mesh, loss_weights=None,
                           det_loss_ratio: float = 0.1,
-                          gt_guided_masks: bool = False):
+                          gt_guided_masks: bool = False,
+                          lovasz_impl: str = "sort"):
     """make_seg_train_step, memoized on the (hashable) recipe.
 
     Every `jax.jit` wraps a fresh closure, so two SegTrainers with the
@@ -270,11 +280,12 @@ def shared_seg_train_step(model, mesh, loss_weights=None,
     lw_items = tuple(sorted((loss_weights or {"ce": 1.0}).items()))
     try:
         return _shared_seg_step(model, mesh, lw_items, det_loss_ratio,
-                                gt_guided_masks)
+                                gt_guided_masks, lovasz_impl)
     except TypeError:  # unhashable model/mesh — build a private step
         return make_seg_train_step(model, mesh, dict(lw_items),
                                    det_loss_ratio=det_loss_ratio,
-                                   gt_guided_masks=gt_guided_masks)
+                                   gt_guided_masks=gt_guided_masks,
+                                   lovasz_impl=lovasz_impl)
 
 
 class SegTrainer:
@@ -288,7 +299,7 @@ class SegTrainer:
                  log_dir: Optional[str] = None, det_loss_ratio: float = 0.1,
                  gt_guided_masks: bool = False,
                  ckpt_every: Optional[int] = None, auto_resume: bool = False,
-                 max_keep: int = 3):
+                 max_keep: int = 3, lovasz_impl: str = "sort"):
         self.model = model
         self.train_data = train_data
         self.eval_data = eval_data
@@ -324,7 +335,7 @@ class SegTrainer:
                                        variables.get("batch_stats", {}), tx)
         self.train_step = shared_seg_train_step(
             model, self.mesh, loss_weights, det_loss_ratio=det_loss_ratio,
-            gt_guided_masks=gt_guided_masks)
+            gt_guided_masks=gt_guided_masks, lovasz_impl=lovasz_impl)
         self.best = -1.0
         self.metrics_logger = None
         if log_dir:

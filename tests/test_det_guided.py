@@ -54,15 +54,24 @@ def test_det_guided_train_step_uses_loaded_gt_masks():
                                          SegformerHead)
     from fudanocr_tpu.train.seg import SegTrainer
 
+    from fudanocr_tpu.core.mesh import make_mesh_for_batch
+
     data = SyntheticTextSeg(num_samples=4, size=(32, 32),
                             pipeline=[Normalize()], with_det=True)
     assert "gt_det" in data[0]
+    # instance_impl='host' + a 1-device mesh: the assertions here are about
+    # gt_det WIRING (dataset -> det loss -> attention masks), not the CCL;
+    # the device CCL and its mesh-sharded dispatch have dedicated tests
+    # below, and skipping its while_loop in this grad program cuts the
+    # test's dominant compile cost (suite-time item, VERDICT r4 #8).
     model = DetGuidedEncoderDecoder(
         backbone=CascadeMiTDetGuided(embed_dims=8, num_layers=(1, 1, 1, 1),
-                                     drop_path_rate=0.0),
+                                     drop_path_rate=0.0,
+                                     instance_impl="host"),
         decode_head=SegformerHead(num_classes=2, channels=16))
-    trainer = SegTrainer(model, data, data, batch_size=2, total_iters=2,
-                         eval_every=10 ** 9, gt_guided_masks=True)
+    trainer = SegTrainer(model, data, data, batch_size=2, total_iters=1,
+                         eval_every=10 ** 9, gt_guided_masks=True,
+                         mesh=make_mesh_for_batch(2, jax.devices()[:1]))
     state = trainer.train()
     batch = next(data.batches(2))
     _, metrics = trainer.train_step(

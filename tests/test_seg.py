@@ -102,6 +102,39 @@ def test_seg_loss_fast_paths_match_direct_autodiff():
                                        rtol=1e-4, atol=1e-6)
 
 
+def test_bucketed_lovasz_tracks_exact_sort_lovasz():
+    """The sort-free bucketed Lovász (losses/seg_losses.py) is the exact
+    Lovász of the quantized-error ordering with tie-averaged weights;
+    with distinct errors it converges to the sort path as num_buckets
+    grows. Value must be close and the gradient strongly aligned (the
+    surrogate trains the same objective)."""
+    from fudanocr_tpu.losses.seg_losses import (lovasz_softmax_bucketed,
+                                                lovasz_softmax_loss)
+
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.standard_normal((2, 16, 16, 2)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 2, (2, 16, 16)))
+    labels = labels.at[0, 0, :5].set(255)
+
+    v_e, g_e = jax.value_and_grad(
+        lambda lg: lovasz_softmax_loss(lg, labels))(logits)
+    for k, vtol in ((1024, 3e-3), (65536, 1e-4)):
+        v_b, g_b = jax.value_and_grad(
+            lambda lg: lovasz_softmax_bucketed(lg, labels,
+                                               num_buckets=k))(logits)
+        assert abs(float(v_b) - float(v_e)) < vtol, (k, float(v_b),
+                                                     float(v_e))
+        ge, gb = np.asarray(g_e).ravel(), np.asarray(g_b).ravel()
+        cos = float(ge @ gb / (np.linalg.norm(ge) * np.linalg.norm(gb)))
+        assert cos > (0.99 if k == 1024 else 0.9999), (k, cos)
+    # degenerate inputs stay finite
+    one = jnp.zeros((1, 4, 4, 2), jnp.float32)
+    lab0 = jnp.zeros((1, 4, 4), jnp.int32)
+    assert np.isfinite(float(lovasz_softmax_bucketed(one, lab0)))
+    labi = jnp.full((1, 4, 4), 255, jnp.int32)
+    assert np.isfinite(float(lovasz_softmax_bucketed(one, labi)))
+
+
 def test_slide_inference_equals_whole_on_single_crop():
     from fudanocr_tpu.models.seg.encoder_decoder import slide_inference
 

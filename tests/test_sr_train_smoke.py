@@ -25,7 +25,7 @@ def test_sr_smoke_train_loss_decreases_and_hr_cache_reused():
 
     model = TBSRN(scale_factor=2, width=64, height=16, stn=False,
                   srb_nums=1, hidden_units=8)
-    data = SyntheticTextZoom(num_samples=64, hr_size=(64, 16), scale=2)
+    data = SyntheticTextZoom(num_samples=32, hr_size=(64, 16), scale=2)
     oracle = OCRTransformer(vocab=37, num_in=1, layers=(1, 1, 1, 1),
                             num_heads=4, d_embed=32, d_model=64, d_ff=64)
     ovars = oracle.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 64, 1)),
@@ -47,7 +47,7 @@ def test_sr_smoke_train_loss_decreases_and_hr_cache_reused():
                 losses.append(float(m["loss"]))
         assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
         # epoch 0 computed each batch's HR map once; epochs 1-2 hit the cache
-        assert len(trainer._hr_map_cache) == 4  # 64 samples / batch 16
+        assert len(trainer._hr_map_cache) == 2  # 32 samples / batch 16
         assert trainer._hr_cache_bytes > 0
 
         res = trainer.evaluate(1)

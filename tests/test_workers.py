@@ -82,3 +82,29 @@ def test_worker_batches_epochs_and_partial_tail():
         assert len(got) == 4
         keep = list(WorkerBatches(factory, batch_size=4, drop_last=False))
         assert len(keep) == 3 and keep[-1][0].shape[0] == 2
+
+
+def test_uint8_collate_plus_device_normalize_matches_float_collate():
+    """The fed pipeline ships uint8 and normalizes on device
+    (data/collate.py::normalize_uint8); that two-step path must equal the
+    float32 host collate bit-exactly (same /255 on the same bytes),
+    including the 0/255-encoded mask channel."""
+    import jax.numpy as jnp
+
+    from fudanocr_tpu.data.collate import normalize_uint8
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = _make_db(tmp, n=4)
+        ds = PairedLMDBDataset(path, voc_type="lower", batch_hw=(16, 64),
+                               scale=2)
+        for mask in (False, True):
+            items = ds.fetch_items(range(4))
+            hr_f, lr_f, lab_f = ds.collate(items, mask=mask)
+            hr_u, lr_u, lab_u = ds.collate(items, mask=mask,
+                                           dtype=np.uint8)
+            assert hr_u.dtype == np.uint8 and lr_u.dtype == np.uint8
+            assert lab_u == lab_f
+            np.testing.assert_array_equal(
+                np.asarray(normalize_uint8(jnp.asarray(hr_u))), hr_f)
+            np.testing.assert_array_equal(
+                np.asarray(normalize_uint8(jnp.asarray(lr_u))), lr_f)
