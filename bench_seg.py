@@ -46,9 +46,10 @@ TRAIN_BATCH = 2
 TRAIN_ITERS = 8
 INFER_ITERS = 8
 # A/B override for the Lovász implementation in both train rows:
-# LOVASZ_IMPL=sort|bucketed ('sort' is the exact reference math; the
-# default is decided by the committed r5 on-chip A/B)
-LOVASZ_IMPL = os.environ.get("LOVASZ_IMPL", "sort")
+# LOVASZ_IMPL=auto|sort|bucketed ('sort' is the exact reference math;
+# 'auto' applies the r5 on-chip A/B: bucketed at the plain 512^2 shape,
+# sort at the det 1024^2 shapes — see train/seg.py)
+LOVASZ_IMPL = os.environ.get("LOVASZ_IMPL", "auto")
 
 
 def _timed(jitted, args, iters) -> float:

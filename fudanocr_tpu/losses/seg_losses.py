@@ -3,8 +3,10 @@
 Rebuilds of text-focused-Transformers/mmseg/models/losses/*.py on dense
 (B, H, W, C) logits with an (B, H, W) int label map and `ignore_index`.
 The Lovász extension sorts per-class errors — O(P log P) on device, which
-XLA lowers to a bitonic sort; fine at the 1/4-resolution logits the
-reference applies it to.
+XLA lowers to a bitonic sort over the FULL-resolution upsampled logits
+(the head computes losses at label size, as the reference's decode head
+does); `lovasz_softmax_bucketed` is the measured fast path for small
+pixel counts.
 """
 
 from __future__ import annotations
@@ -90,7 +92,7 @@ def _lovasz_grad(gt_sorted: jax.Array) -> jax.Array:
 
 def lovasz_softmax_bucketed(logits: jax.Array, labels: jax.Array,
                             ignore_index: int = 255,
-                            num_buckets: int = 4096) -> jax.Array:
+                            num_buckets: int = 1024) -> jax.Array:
     """Sort-free Lovász-softmax: exact Lovász of the BUCKETED error order.
 
     The Lovász weights depend on the errors only through their descending
@@ -98,11 +100,13 @@ def lovasz_softmax_bucketed(logits: jax.Array, labels: jax.Array,
     weights within a tie-bucket can be distributed uniformly: the Jaccard
     sequence telescopes, so the total weight of bucket k is
     jac(C_k) - jac(C_{k-1}) where C_k are cumulative counts over buckets
-    — computable from K-bin histograms alone. On TPU this replaces two
-    O(P log^2 P) bitonic sorts (the det-guided train step's largest
-    non-matmul op, ~12% at 1024^2 batch 8) with fused compare-reduces
-    (P x K) and a K-table lookup; XLA streams the one-hot compare into
-    the reduction, nothing is materialized.
+    — computable from K-bin histograms alone. On TPU this replaces the
+    exact path's two O(P log^2 P) bitonic sorts with compare-reduces
+    (P x K) and a K-table lookup. Measured on-chip it wins only at
+    P <= ~2^19 pixels per call (plain 512^2 train: 28.4 -> 26.1
+    ms/step); at the det 1024^2 shapes the P x K compares overtake the
+    sorts (micro: 67 vs 37 ms/val+grad at P = 8.4M), so
+    lovasz_impl='auto' (train/seg.py) gates on the pixel count.
 
     Exactness: equals `lovasz_softmax_loss` when no two distinct error
     values share a bucket; otherwise it is the exact Lovász value of a
@@ -130,8 +134,14 @@ def lovasz_softmax_bucketed(logits: jax.Array, labels: jax.Array,
     # bucket 0 = highest error (descending order, as the sort path)
     b = (k - 1) - jnp.clip((e_sg * (k - 1) + 0.5).astype(jnp.int32), 0, k - 1)
 
-    # K-bin histograms via broadcast-compare; XLA fuses the one-hot
-    # producer into the reduces (no P x K materialization)
+    # K-bin histograms via broadcast-compare reduces. Two alternatives
+    # measured on-chip and rejected (scripts/exp_lovasz_{r5,micro}.py):
+    # a two-level MXU formulation (hist[hi, lo] as a skinny
+    # (32, P) @ (P, 96) dot over bf16 one-hots) ran 67 ms vs the sort's
+    # 37 ms at P = 8.4M and 5.96 vs 4.39 ms at P = 0.5M — the K-deep
+    # contraction tiles poorly; and K = 4096 variants scale the compare
+    # cost 4x. This compare form is what wins in-step at the plain
+    # 512^2 recipe (26.1 vs 28.4 ms/step).
     oh = (b[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :])
     ohf = oh.astype(jnp.float32)
     cnt = jnp.sum(ohf, axis=0)                       # c_k

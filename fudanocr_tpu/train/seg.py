@@ -168,11 +168,20 @@ def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
     """
     loss_weights = loss_weights or {"ce": 1.0}
     # 'bucketed' replaces the two O(P log^2 P) bitonic sorts with K-bin
-    # histogram compare-reduces (losses/seg_losses.py) — the A/B'd TPU
-    # fast path for the binary textformer recipes; 'sort' is the exact
-    # reference math and the fallback for num_classes != 2
-    lovasz = (lovasz_softmax_bucketed if lovasz_impl == "bucketed"
-              else lovasz_softmax_loss)
+    # histogram compare-reduces (losses/seg_losses.py); 'sort' is the
+    # exact reference math and the fallback for num_classes != 2.
+    # 'auto' applies the r5 on-chip A/B (scripts/exp_lovasz_r5.py,
+    # COMPONENTS.md): bucketed wins at the plain 512^2 recipe
+    # (P = B*H*W <= 2^19: 28.4 -> 26.1 ms/step) and loses at the
+    # det-guided 1024^2 shapes (P >= 2^20: 366 -> 420 ms at B=8,
+    # 71 -> 78 ms at B=1), so it gates on the per-call pixel count.
+    def _auto_lovasz(lg, lb):
+        if lg.shape[-1] == 2 and lb.size <= 2 ** 19:
+            return lovasz_softmax_bucketed(lg, lb)
+        return lovasz_softmax_loss(lg, lb)
+
+    lovasz = {"bucketed": lovasz_softmax_bucketed,
+              "sort": lovasz_softmax_loss}.get(lovasz_impl, _auto_lovasz)
     batch_sharding = NamedSharding(mesh, P("data"))
 
     def step(state: TrainState, batch, rng):
