@@ -62,7 +62,8 @@ def _instance_labels_host(binary: np.ndarray) -> np.ndarray:
 
 
 def instance_labels_device(text_map: jax.Array,
-                           iters: Optional[int] = None) -> jax.Array:
+                           iters: Optional[int] = None,
+                           warm: int = 6) -> jax.Array:
     """Pure-XLA connected-component labeling: per-pixel label = min linear
     index of its 4-connected component.
 
@@ -82,9 +83,15 @@ def instance_labels_device(text_map: jax.Array,
 
     The hook/jump pair alone bounds ANY component shape (serpentine,
     spiral — exercised by test_det_guided) at ~log2(H*W) hook/jump
-    rounds; since hook/jump rounds alternate with scan-only rounds, the
-    iteration cap is ~2*log2(H*W)+8. The scans make blob-like real
-    components converge in O(number of bends) rounds.
+    rounds. The scans make blob-like real components converge in
+    O(number of bends) rounds. SCHEDULE (r5, measured): a hook/jump
+    round costs ~12 ms at b8 256² (XLA lowers the data-dependent
+    scatter/gather to serial loops) vs ~1 ms for a scan round, and a
+    scan round that changes nothing is a correct exit — so the first
+    `warm` = 6 rounds are scan-only (small/real components exit there:
+    40.8 -> ~8 ms on noise maps), after which hook/jump rounds alternate
+    with scan rounds for high-diameter shapes. The iteration cap is
+    warm + ~2*log2(H*W) + 8.
 
     Used where host callbacks are unavailable (the axon TPU tunnel
     rejects pure_callback). Differs from the cv2 contour fill only on
@@ -96,9 +103,9 @@ def instance_labels_device(text_map: jax.Array,
     hw = h * w
     if iters is None:
         # hook/jump rounds halve the tree count but run only every OTHER
-        # round (see body), so the cap doubles; margin for the
-        # interleaving (test_det_guided exercises serpentine + spiral)
-        iters = 2 * int(np.ceil(np.log2(max(hw, 2)))) + 8
+        # round after the warm-up (see body), so the cap doubles; margin
+        # for the interleaving (test_det_guided: serpentine + spiral)
+        iters = warm + 2 * int(np.ceil(np.log2(max(hw, 2)))) + 8
     fg = text_map > 0
     fg_flat = fg.reshape(b, hw)
     bg = jnp.int32(hw)  # sentinel label for background (> any pixel index)
@@ -170,7 +177,8 @@ def instance_labels_device(text_map: jax.Array,
         def without_hook(flat):
             return jnp.where(fg_flat, jnp.minimum(flat, cand), bg)
 
-        flat = jax.lax.cond(it % 2 == 1, with_hook, without_hook, flat)
+        flat = jax.lax.cond((it >= warm) & (it % 2 == 1),
+                            with_hook, without_hook, flat)
         new = flat.reshape(b, h, w)
         return new, jnp.any(new != lab), it + 1
 
