@@ -167,21 +167,17 @@ def make_seg_train_step(model, mesh, loss_weights: Dict[str, float] = None,
     published *_det configs use predicted masks (V10), so it defaults off.
     """
     loss_weights = loss_weights or {"ce": 1.0}
-    # 'bucketed' replaces the two O(P log^2 P) bitonic sorts with K-bin
-    # histogram compare-reduces (losses/seg_losses.py); 'sort' is the
-    # exact reference math and the fallback for num_classes != 2.
-    # 'auto' applies the r5 on-chip A/B (scripts/exp_lovasz_r5.py,
-    # COMPONENTS.md): bucketed wins at the plain 512^2 recipe
-    # (P = B*H*W <= 2^19: 28.4 -> 26.1 ms/step) and loses at the
-    # det-guided 1024^2 shapes (P >= 2^20: 366 -> 420 ms at B=8,
-    # 71 -> 78 ms at B=1), so it gates on the per-call pixel count.
-    def _auto_lovasz(lg, lb):
-        if lg.shape[-1] == 2 and lb.size <= 2 ** 19:
-            return lovasz_softmax_bucketed(lg, lb)
-        return lovasz_softmax_loss(lg, lb)
-
-    lovasz = {"bucketed": lovasz_softmax_bucketed,
-              "sort": lovasz_softmax_loss}.get(lovasz_impl, _auto_lovasz)
+    # 'sort' (default, also what 'auto' resolves to) is the exact
+    # reference Lovász math; 'bucketed' is the K-bin histogram rewrite
+    # (losses/seg_losses.py), kept selectable as a RECORDED NEGATIVE:
+    # the full r5 on-chip A/B (scripts/exp_lovasz_r5.py + the canonical
+    # bench_seg harness with donated buffers) has sort winning or tying
+    # at every recipe shape — plain 512^2 B2 18.9 vs 21.5 ms/step,
+    # B8 36.9 vs 36.6 (tie), det 1024^2 B8 366 vs 420 ms. The earlier
+    # apparent bucketed win (26.1 vs 28.4) came from a harness variant
+    # without buffer donation and did not replicate.
+    lovasz = (lovasz_softmax_bucketed if lovasz_impl == "bucketed"
+              else lovasz_softmax_loss)
     batch_sharding = NamedSharding(mesh, P("data"))
 
     def step(state: TrainState, batch, rng):
