@@ -73,6 +73,37 @@ def bench_host_loader(num_workers: int, uint8: bool = False) -> float:
     return n / dt
 
 
+def bench_sr_fed_serving(model, variables) -> float:
+    """The SERVING fed pipeline: LR-only decode (LRServingLMDBDataset —
+    the HR image is never used after the SR forward replaces it), uint8
+    over the wire, /255 on device. The training fed row (sr_fed) keeps
+    the full HR+LR collate."""
+    from fudanocr_tpu.data.collate import normalize_uint8
+    from fudanocr_tpu.data.lmdb_dataset import LRServingLMDBDataset
+    from fudanocr_tpu.data.prefetch import prefetch
+    from fudanocr_tpu.data.workers import WorkerBatches
+
+    def factory():
+        return LRServingLMDBDataset(DB_PATH, voc_type="lower",
+                                    batch_hw=(32, 128), scale=2)
+
+    fwd = jax.jit(lambda v, x: model.apply(v, normalize_uint8(x))[0, 0, 0, 0]
+                  .astype(jnp.float32))
+    loader = WorkerBatches(factory, BATCH, num_workers=0, epochs=2)
+    stream = prefetch(iter(loader), transform=lambda b: b[0], buffer_size=3)
+    first = next(stream)
+    float(fwd(variables, first))
+    t0 = time.perf_counter()
+    n = 0
+    last = None
+    for lr_imgs in stream:
+        last = fwd(variables, lr_imgs)
+        n += BATCH
+    float(last)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
 def make_model():
     from fudanocr_tpu.models.sr import TBSRN
 
@@ -216,6 +247,7 @@ def main():
     model, variables = make_model()
     sr_dev = bench_sr_device(model, variables)
     sr_fed = bench_sr_fed(model, variables)
+    sr_fed_serving = bench_sr_fed_serving(model, variables)
     p2s_fps, p2s_ms, join_ms = bench_pixels_to_strings(model, variables)
 
     rows.update({
@@ -224,6 +256,8 @@ def main():
         "host_to_device_ratio": round(sr_fed / sr_dev, 4),
         "fed_to_loader_ratio": round(
             sr_fed / rows["host_loader_w0_uint8_img_s"], 4),
+        "sr_fed_serving_img_s": round(sr_fed_serving, 1),
+        "serving_to_device_ratio": round(sr_fed_serving / sr_dev, 4),
         "pixels_to_strings_img_s": round(p2s_fps, 1),
         "pixels_to_strings_ms_per_batch": round(p2s_ms, 2),
         "sr_only_ms_per_batch": round(BATCH * ITERS_DEV / sr_dev

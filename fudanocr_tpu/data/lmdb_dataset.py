@@ -114,6 +114,48 @@ class PairedLMDBDataset(_LMDBBase):
         return out
 
 
+class LRServingLMDBDataset(PairedLMDBDataset):
+    """LR-only view of a paired LMDB for the SERVING pipeline.
+
+    The serving hot path (LMDB -> SR -> CRNN -> strings) never looks at
+    the HR image — decoding it anyway halves the host loader on a
+    decode-bound host. Items are (lr, label); collate produces ONE
+    (B, h, w, C) batch (uint8 by default: normalization runs on device,
+    data/collate.py::normalize_uint8). Training keeps PairedLMDBDataset.
+    """
+
+    def fetch_items(self, indices):
+        located = [self._locate(i) for i in indices]
+        by_reader: dict = {}
+        for pos, (reader, i) in enumerate(located):
+            by_reader.setdefault(id(reader), (reader, []))[1].append((pos, i))
+        vals = [None] * (2 * len(indices))
+        for reader, entries in by_reader.values():
+            keys = []
+            for _, i in entries:
+                keys += [b"image_lr-%09d" % i, b"label-%09d" % i]
+            got = reader.get_many(keys)
+            for j, (pos, _) in enumerate(entries):
+                vals[2 * pos:2 * pos + 2] = got[2 * j:2 * j + 2]
+        out = []
+        for pos in range(len(indices)):
+            lr_buf, label = vals[2 * pos:2 * pos + 2]
+            out.append((_decode(lr_buf),
+                        str_filt((label or b"").decode(), self.voc_type)))
+        return out
+
+    def collate(self, items, dtype=None, **kw):
+        import numpy as np
+
+        from fudanocr_tpu.data.collate import resize_normalize
+        dtype = np.uint8 if dtype is None else dtype
+        h, w = self.batch_hw
+        lr_size = (w // self.scale, h // self.scale)
+        lrs = [resize_normalize(img, lr_size, dtype=dtype)
+               for img, _ in items]
+        return np.stack(lrs), [lab for _, lab in items]
+
+
 class MixLMDBDataset(_LMDBBase):
     """lmdbDataset_mix (dataset.py:155-202): at train time the LR image is
     the stored LR with probability 0.5, else the HR itself; at test time

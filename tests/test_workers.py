@@ -108,3 +108,21 @@ def test_uint8_collate_plus_device_normalize_matches_float_collate():
                 np.asarray(normalize_uint8(jnp.asarray(hr_u))), hr_f)
             np.testing.assert_array_equal(
                 np.asarray(normalize_uint8(jnp.asarray(lr_u))), lr_f)
+
+
+def test_lr_serving_dataset_matches_paired_lr():
+    """LRServingLMDBDataset must produce exactly the LR half of the
+    paired collate (same bytes, same labels) while never decoding HR."""
+    from fudanocr_tpu.data.lmdb_dataset import LRServingLMDBDataset
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = _make_db(tmp, n=6)
+        pair = PairedLMDBDataset(path, voc_type="lower", batch_hw=(16, 64),
+                                 scale=2)
+        lrds = LRServingLMDBDataset(path, voc_type="lower", batch_hw=(16, 64),
+                                    scale=2)
+        assert len(lrds) == len(pair)
+        _, lr_f, lab_f = pair.collate(pair.fetch_items(range(6)))
+        lr_u, lab_u = lrds.collate(lrds.fetch_items(range(6)))
+        assert lr_u.dtype == np.uint8 and lab_u == lab_f
+        np.testing.assert_array_equal(lr_u.astype(np.float32) / 255.0, lr_f)
