@@ -104,6 +104,56 @@ def bench_sr_fed_serving(model, variables) -> float:
     return n / dt
 
 
+def bench_lmdb_to_strings(model, variables) -> float:
+    """The COMPLETE reference user journey as one pipeline: LMDB bytes ->
+    LR-only decode -> uint8 H2D -> (SR -> gray 32x100 -> CRNN -> greedy
+    CTC) in ONE jit -> host string join. What the reference runs as
+    separate scripts with host hops between them
+    (super_resolution.py:241-329 + get_crnn_pred :143). Strings are
+    fully materialized per batch on the host (the join overlaps the next
+    batch's device work only as far as the 1 core allows — honest)."""
+    import numpy as _np
+
+    from fudanocr_tpu.data.collate import normalize_uint8
+    from fudanocr_tpu.data.lmdb_dataset import LRServingLMDBDataset
+    from fudanocr_tpu.data.prefetch import prefetch
+    from fudanocr_tpu.data.workers import WorkerBatches
+    from fudanocr_tpu.eval.ctc import CTCLabelConverter, ctc_greedy_decode
+    from fudanocr_tpu.models.rec.crnn import CRNN, parse_crnn_input
+
+    crnn = CRNN(num_classes=37, dtype=jnp.bfloat16)
+    crnn_vars = jax.jit(crnn.init)(jax.random.PRNGKey(3),
+                                   jnp.zeros((1, 32, 100, 1)))
+    conv = CTCLabelConverter("0123456789abcdefghijklmnopqrstuvwxyz")
+
+    @jax.jit
+    def to_ids(x):
+        sr = model.apply(variables, normalize_uint8(x))
+        return ctc_greedy_decode(crnn.apply(crnn_vars, parse_crnn_input(sr)))
+
+    def factory():
+        return LRServingLMDBDataset(DB_PATH, voc_type="lower",
+                                    batch_hw=(32, 128), scale=2)
+
+    loader = WorkerBatches(factory, BATCH, num_workers=0, epochs=2)
+    stream = prefetch(iter(loader), transform=lambda b: b[0], buffer_size=3)
+    first = next(stream)
+    conv.decode_ids(_np.asarray(to_ids(first)))  # compile + warm
+    t0 = time.perf_counter()
+    n = 0
+    pending = None
+    total_strings = 0
+    for lr_imgs in stream:
+        if pending is not None:  # decode the PREVIOUS batch's strings
+            total_strings += len(conv.decode_ids(_np.asarray(pending)))
+        pending = to_ids(lr_imgs)  # while the device runs this one
+        n += BATCH
+    total_strings += len(conv.decode_ids(_np.asarray(pending)))
+    dt = time.perf_counter() - t0
+    assert total_strings == n
+    return n / dt
+
+
 def make_model():
     from fudanocr_tpu.models.sr import TBSRN
 
@@ -248,6 +298,7 @@ def main():
     sr_dev = bench_sr_device(model, variables)
     sr_fed = bench_sr_fed(model, variables)
     sr_fed_serving = bench_sr_fed_serving(model, variables)
+    lmdb_to_strings = bench_lmdb_to_strings(model, variables)
     p2s_fps, p2s_ms, join_ms = bench_pixels_to_strings(model, variables)
 
     rows.update({
@@ -258,6 +309,7 @@ def main():
             sr_fed / rows["host_loader_w0_uint8_img_s"], 4),
         "sr_fed_serving_img_s": round(sr_fed_serving, 1),
         "serving_to_device_ratio": round(sr_fed_serving / sr_dev, 4),
+        "lmdb_to_strings_img_s": round(lmdb_to_strings, 1),
         "pixels_to_strings_img_s": round(p2s_fps, 1),
         "pixels_to_strings_ms_per_batch": round(p2s_ms, 2),
         "sr_only_ms_per_batch": round(BATCH * ITERS_DEV / sr_dev
