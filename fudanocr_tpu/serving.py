@@ -97,6 +97,60 @@ class PixelsToStrings:
         return self.converter.decode_ids(np.asarray(ids))
 
 
+class LMDBToStrings:
+    """The complete serving journey as one overlapped pipeline:
+    LMDB bytes -> LR-only decode (uint8) -> H2D -> [SR -> gray 32x100 ->
+    CRNN -> greedy CTC] in ONE jit -> host string join.
+
+    The reference runs this as separate scripts with host hops between
+    every stage (super_resolution.py:241-329 SR, get_crnn_pred :143).
+    Here the host decodes batch i+1 and joins batch i-1's strings while
+    the device runs batch i (data/prefetch.py staging; the only
+    transfers are uint8 LR batches in and [B, T] int32 ids out).
+    Normalization runs on device (data/collate.py::normalize_uint8), so
+    the wire format is raw bytes. Measured end-to-end on a 1-core host:
+    5,564 img/s (BENCH_PIPE_r05.json `lmdb_to_strings_img_s`).
+
+    Usage:
+        pipe = LMDBToStrings(pixels_to_strings, "/data/textzoom_test",
+                             batch_size=512)
+        for texts in pipe:          # list[str] per batch, in order
+            ...
+    """
+
+    def __init__(self, pixels_to_strings: PixelsToStrings, db_path: str,
+                 batch_size: int = 512, voc_type: str = "lower",
+                 batch_hw: Tuple[int, int] = (32, 128), scale: int = 2,
+                 num_workers: int = 0, epochs: int = 1,
+                 buffer_size: int = 3):
+        from fudanocr_tpu.data.collate import normalize_uint8
+        from fudanocr_tpu.data.lmdb_dataset import LRServingLMDBDataset
+        from fudanocr_tpu.data.workers import WorkerBatches
+
+        self._p2s = pixels_to_strings
+        ids_fn = pixels_to_strings.ids_fn
+        self._ids_fn = jax.jit(
+            lambda x: ids_fn(normalize_uint8(x)))
+        self._loader = WorkerBatches(
+            lambda: LRServingLMDBDataset(db_path, voc_type=voc_type,
+                                         batch_hw=batch_hw, scale=scale),
+            batch_size, num_workers=num_workers, epochs=epochs)
+        self._buffer_size = buffer_size
+
+    def __iter__(self):
+        from fudanocr_tpu.data.prefetch import prefetch
+
+        stream = prefetch(iter(self._loader), transform=lambda b: b[0],
+                          buffer_size=self._buffer_size)
+        pending = None
+        for lr_imgs in stream:
+            if pending is not None:
+                yield self._p2s.decode_ids(np.asarray(pending))
+            pending = self._ids_fn(lr_imgs)
+        if pending is not None:
+            yield self._p2s.decode_ids(np.asarray(pending))
+
+
 class InferenceServer:
     def __init__(self, apply_fn: Callable, buckets: Sequence[int] = (1, 8, 32),
                  max_wait_ms: float = 5.0):

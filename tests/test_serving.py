@@ -154,3 +154,48 @@ def test_pixels_to_strings_matches_separate_calls():
     served = [pipe.decode_ids(f.result(timeout=60)[None])[0] for f in futs]
     srv.close()
     assert served == want
+
+
+def test_lmdb_to_strings_pipeline_matches_pixels_to_strings():
+    """LMDBToStrings (LMDB -> uint8 LR -> device normalize -> one-jit
+    SR+CRNN+CTC -> string join) must yield exactly the strings
+    PixelsToStrings produces on the float-collated LR batches — the
+    uint8 wire format and LR-only decode change nothing downstream."""
+    import tempfile
+
+    import jax
+    from fudanocr_tpu.data.lmdb_dataset import (PairedLMDBDataset,
+                                                create_dataset)
+    from fudanocr_tpu.data.synthetic import SyntheticTextZoom
+    from fudanocr_tpu.eval.ctc import CTCLabelConverter
+    from fudanocr_tpu.models.rec.crnn import CRNN
+    from fudanocr_tpu.models.sr import TBSRN
+    from fudanocr_tpu.serving import LMDBToStrings, PixelsToStrings
+
+    sr_model = TBSRN(scale_factor=2, width=64, height=16, stn=False,
+                     srb_nums=1, hidden_units=4)
+    crnn = CRNN(num_classes=37, hidden=32)
+    lr0 = jnp.zeros((1, 8, 32, 3))
+    sr_vars = sr_model.init(jax.random.PRNGKey(1), lr0)
+    crnn_vars = crnn.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 100, 1)))
+    conv = CTCLabelConverter("0123456789abcdefghijklmnopqrstuvwxyz")
+    pipe = PixelsToStrings(lambda x: sr_model.apply(sr_vars, x),
+                           lambda x: crnn.apply(crnn_vars, x), conv)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = tmp + "/db"
+        syn = SyntheticTextZoom(num_samples=6, hr_size=(64, 16))
+        create_dataset(path, [syn[i] for i in range(6)])
+
+        got = []
+        for texts in LMDBToStrings(pipe, path, batch_size=3,
+                                   batch_hw=(16, 64), scale=2):
+            got += texts
+        assert len(got) == 6
+
+        ds = PairedLMDBDataset(path, voc_type="lower", batch_hw=(16, 64),
+                               scale=2)
+        want = []
+        for _, lr, _labels in ds.batches(3):
+            want += pipe(jnp.asarray(lr))
+        assert got == want
